@@ -1,0 +1,219 @@
+"""Log-mel filterbank frontend as fused matmul/conv TPU ops.
+
+TPU-native re-design of the reference's per-call ``torchaudio.transforms.
+MelSpectrogram`` frontend (reference: streaming_decoder/lightspeech/datas/
+audio.py:9-30 for the Vietnamese path, models/recognition.py:100-109 for the
+English RNNT path).  Instead of an FFT + filterbank pipeline rebuilt on every
+call, we precompute a single real-DFT basis (window folded in) and a mel
+filterbank matrix once, and evaluate the whole frontend as one strided
+convolution (an implicit GEMM on the MXU) followed by one matmul:
+
+    frames = conv1d(wave, window ⊙ [cos|sin] basis, stride=hop)   # MXU
+    power  = re^2 + im^2                                          # VPU
+    mel    = power @ mel_fb                                       # MXU
+    out    = log(clamp(mel))  or piecewise-linear-log + norm      # VPU
+
+Everything is static-shaped and jit-friendly; XLA fuses the elementwise tail
+into the matmuls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class MelConfig:
+    """Mel spectrogram geometry.
+
+    Defaults are the Vietnamese-path geometry (reference datas/audio.py:15-25:
+    n_fft=0.05*sr, win=0.025*sr, hop=0.01*sr, 128 mels, center=False,
+    clamp(1e-5).log()).  The English RNNT path (reference
+    recognition.py:100-109) uses ``for_english()`` below.
+    """
+
+    sample_rate: int = 16000
+    n_fft: int = 800
+    win_length: int = 400
+    hop_length: int = 160
+    n_mels: int = 128
+    f_min: float = 0.0
+    f_max: Optional[float] = None          # default sr/2
+    center: bool = False
+    power: float = 2.0
+    mel_scale: str = "htk"                 # torchaudio default
+    # Output transform: "clamp_log" (vi) or "piecewise_linear_log" (en).
+    output_transform: str = "clamp_log"
+    clamp_min: float = 1e-5
+    # Pre-log gain applied to the power spectrogram (en path uses the
+    # torchaudio RNNT pipeline's int16 full-scale power gain).
+    pre_gain: float = 1.0
+
+    @classmethod
+    def for_vietnamese(cls) -> "MelConfig":
+        return cls()
+
+    @classmethod
+    def for_english(cls) -> "MelConfig":
+        # torchaudio.transforms.MelSpectrogram(16000, n_fft=400, n_mels=80,
+        # hop_length=160) has center=True and win_length=n_fft defaults;
+        # the RNNT pipeline then applies piecewise-linear-log with the int16
+        # full-scale power gain (10 ** (0.05 * 2*20*log10(32767))).
+        return cls(
+            n_fft=400, win_length=400, hop_length=160, n_mels=80,
+            center=True, output_transform="piecewise_linear_log",
+            pre_gain=math.pow(10, 0.05 * (2 * 20 * math.log10(32767))),
+        )
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    def num_frames(self, num_samples: int) -> int:
+        if self.center:
+            return 1 + num_samples // self.hop_length
+        return 1 + (num_samples - self.n_fft) // self.hop_length
+
+
+def _hann_window(win_length: int) -> np.ndarray:
+    # torch.hann_window default is periodic.
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))).astype(np.float64)
+
+
+def _mel_frequencies(n_mels: int, f_min: float, f_max: float, scale: str) -> np.ndarray:
+    if scale == "htk":
+        def hz_to_mel(f):
+            return 2595.0 * np.log10(1.0 + f / 700.0)
+
+        def mel_to_hz(m):
+            return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    elif scale == "slaney":
+        f_sp = 200.0 / 3
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz / f_sp
+        logstep = math.log(6.4) / 27.0
+
+        def hz_to_mel(f):
+            f = np.asarray(f, dtype=np.float64)
+            mel = f / f_sp
+            log_region = f >= min_log_hz
+            mel = np.where(log_region, min_log_mel + np.log(np.maximum(f, min_log_hz) / min_log_hz) / logstep, mel)
+            return mel
+
+        def mel_to_hz(m):
+            m = np.asarray(m, dtype=np.float64)
+            f = m * f_sp
+            log_region = m >= min_log_mel
+            f = np.where(log_region, min_log_hz * np.exp(logstep * (m - min_log_mel)), f)
+            return f
+    else:
+        raise ValueError(f"unknown mel scale {scale}")
+
+    mels = np.linspace(hz_to_mel(f_min), hz_to_mel(f_max), n_mels + 2)
+    return mel_to_hz(mels)
+
+
+def mel_filterbank(cfg: MelConfig) -> np.ndarray:
+    """Triangular mel filterbank [n_freqs, n_mels] (torchaudio semantics,
+    norm=None)."""
+    f_max = cfg.f_max if cfg.f_max is not None else cfg.sample_rate / 2.0
+    all_freqs = np.linspace(0.0, cfg.sample_rate / 2.0, cfg.n_freqs)
+    f_pts = _mel_frequencies(cfg.n_mels, cfg.f_min, f_max, cfg.mel_scale)
+
+    f_diff = f_pts[1:] - f_pts[:-1]                       # [n_mels+1]
+    slopes = f_pts[None, :] - all_freqs[:, None]          # [n_freqs, n_mels+2]
+    down = -slopes[:, :-2] / f_diff[None, :-1]
+    up = slopes[:, 2:] / f_diff[None, 1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return fb.astype(np.float32)
+
+
+def make_mel_params(cfg: MelConfig) -> dict:
+    """Precompute the fused window+DFT conv kernel and the mel matrix.
+
+    Returns a pytree of jnp arrays:
+      dft_kernel: [2 * n_freqs, 1, n_fft]  (cos rows then sin rows, window
+                  folded in) — conv rhs, OIW layout.
+      mel_fb:     [n_freqs, n_mels]
+    """
+    n_fft, win = cfg.n_fft, cfg.win_length
+    window = _hann_window(win)
+    if win < n_fft:
+        # torch.stft pads the window symmetrically to n_fft.
+        left = (n_fft - win) // 2
+        padded = np.zeros(n_fft, dtype=np.float64)
+        padded[left:left + win] = window
+        window = padded
+
+    n = np.arange(n_fft, dtype=np.float64)
+    k = np.arange(cfg.n_freqs, dtype=np.float64)
+    angle = 2.0 * np.pi * np.outer(k, n) / n_fft          # [n_freqs, n_fft]
+    cos_b = np.cos(angle) * window[None, :]
+    sin_b = -np.sin(angle) * window[None, :]
+    kernel = np.concatenate([cos_b, sin_b], axis=0)[:, None, :]  # [2F, 1, n_fft]
+
+    return {
+        "dft_kernel": jnp.asarray(kernel, dtype=jnp.float32),
+        "mel_fb": jnp.asarray(mel_filterbank(cfg)),
+    }
+
+
+def log_mel(params: dict, cfg: MelConfig, waveform: jax.Array,
+            mean: Optional[jax.Array] = None,
+            invstddev: Optional[jax.Array] = None) -> jax.Array:
+    """Compute log-mel features.
+
+    Args:
+      waveform: [B, T] float32 in [-1, 1].
+      mean / invstddev: optional [n_mels] global stats (English path's
+        ``_GlobalStatsNormalization``, reference recognition.py:107).
+    Returns:
+      [B, F, n_mels] float32 where F = cfg.num_frames(T).
+    """
+    if cfg.center:
+        pad = cfg.n_fft // 2
+        waveform = jnp.pad(waveform, ((0, 0), (pad, pad)), mode="reflect")
+
+    # Strided conv == windowed real DFT of every frame (implicit GEMM on MXU).
+    spec = jax.lax.conv_general_dilated(
+        waveform[:, None, :].astype(jnp.float32),
+        params["dft_kernel"],
+        window_strides=(cfg.hop_length,),
+        padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+    )                                                      # [B, 2F, frames]
+    n_freqs = cfg.n_freqs
+    re, im = spec[:, :n_freqs, :], spec[:, n_freqs:, :]
+    power = re * re + im * im                              # [B, F, frames]
+    if cfg.power == 1.0:
+        power = jnp.sqrt(power)
+
+    mel = jnp.einsum("bft,fm->btm", power, params["mel_fb"])
+
+    if cfg.output_transform == "clamp_log":
+        out = jnp.log(jnp.clip(mel, cfg.clamp_min, None))
+    elif cfg.output_transform == "piecewise_linear_log":
+        x = mel * cfg.pre_gain
+        out = jnp.where(x > math.e, jnp.log(jnp.maximum(x, 1e-20)), x / math.e)
+    else:
+        raise ValueError(cfg.output_transform)
+
+    if mean is not None:
+        out = (out - mean) * invstddev
+    return out
+
+
+def load_global_stats(path: str) -> tuple[jax.Array, jax.Array]:
+    """Load torchaudio-style global stats JSON {mean, invstddev}."""
+    with open(path) as f:
+        blob = json.load(f)
+    return (jnp.asarray(blob["mean"], dtype=jnp.float32),
+            jnp.asarray(blob["invstddev"], dtype=jnp.float32))
