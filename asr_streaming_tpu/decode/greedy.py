@@ -1,0 +1,91 @@
+"""Incremental greedy CTC decoding.
+
+The reference re-runs greedy search over the *entire accumulated emission*
+on every chunk — O(T^2) per utterance (reference:
+streaming_decoder/lightspeech/models/recognition.py:33-57, called per chunk
+at streaming_server.py:433).  Here the device step emits only per-chunk
+argmax indices; the host keeps O(1)-per-frame incremental state that
+reproduces the reference outputs exactly:
+
+  * unique_consecutive collapse carries across chunk boundaries via the
+    last raw index,
+  * ``last_blank`` (trailing silence in seconds) via the global frame
+    index of the last non-silence token,
+  * text assembly from the collapsed token sequence with the reference's
+    subword-join cleanup (``<<``/``>>`` removed, ``-`` removed, ``|`` ->
+    space).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+BLANK_ID = 0      # "-" in the reference vocab
+SILENCE_ID = 1    # "|" in the reference vocab
+FRAME_SECONDS = 0.04  # reference FRAMERATE (recognition.py:30)
+
+
+def join_tokens(tokens: Sequence[str]) -> str:
+    """Reference subword-join cleanup (recognition.py:49-52)."""
+    text = "".join(tokens)
+    text = text.replace("<<", "").replace(">>", "")
+    text = text.replace("-", "").replace("|", " ")
+    return re.sub(r"\s+", " ", text).strip()
+
+
+class StreamingGreedyDecoder:
+    """Per-stream incremental greedy CTC state."""
+
+    def __init__(self, vocab: Sequence[str], blank: int = BLANK_ID,
+                 silence: int = SILENCE_ID,
+                 frame_seconds: float = FRAME_SECONDS):
+        self.vocab = list(vocab)
+        self.blank = blank
+        self.silence = silence
+        self.frame_seconds = frame_seconds
+        self.reset()
+
+    def reset(self) -> None:
+        self.collapsed: List[int] = []   # non-blank collapsed token ids
+        self._prev_raw = -1              # last raw argmax (for collapse)
+        self.num_frames = 0
+        self._last_token_frame = -1      # last frame with id > silence
+
+    def update(self, indices: np.ndarray) -> Tuple[str, float]:
+        """Consume one chunk of argmax indices; return (text, last_blank)
+        with the reference's greedy_search semantics over the full
+        accumulated emission."""
+        for idx in np.asarray(indices).reshape(-1).tolist():
+            if idx > self.silence:
+                self._last_token_frame = self.num_frames
+            if idx != self._prev_raw and idx != self.blank:
+                self.collapsed.append(idx)
+            self._prev_raw = idx
+            self.num_frames += 1
+        return self.text, self.last_blank
+
+    @property
+    def text(self) -> str:
+        return join_tokens([self.vocab[i] for i in self.collapsed])
+
+    @property
+    def last_blank(self) -> float:
+        """Trailing duration since the last non-silence token, seconds
+        (recognition.py:39-43)."""
+        if self._last_token_frame < 0:
+            return self.frame_seconds * self.num_frames
+        return (self.num_frames - 1 - self._last_token_frame) * \
+            self.frame_seconds
+
+
+def greedy_search_full(emission: np.ndarray, vocab: Sequence[str],
+                       blank: int = BLANK_ID, silence: int = SILENCE_ID,
+                       frame_seconds: float = FRAME_SECONDS,
+                       ) -> Tuple[str, float]:
+    """Offline greedy over a full emission [T, V] (for tests/tools);
+    same semantics as the reference greedy_search."""
+    dec = StreamingGreedyDecoder(vocab, blank, silence, frame_seconds)
+    return dec.update(emission.argmax(axis=-1))

@@ -1,0 +1,136 @@
+"""The fused per-tick serving step: VAD + gate + encoder + greedy, one jit.
+
+This is the TPU-native replacement for the reference's per-connection
+inline pipeline (reference: streaming_decoder/streaming_server.py:371-470)
+and its v1 batching engine (streaming_decoder_v1/streaming_asr.py:41-119).
+The reference routes each stream's chunk through webrtcvad -> Silero ->
+encoder with host-side branching; here ALL stages run for ALL slots in one
+fixed-shape jitted step, and the routing decision is computed *on device*:
+
+    decode[b] = active[b] & (contain_token[b] | (gate[b] & silero[b]))
+
+Encoder state only advances for slots that decode (masked select), and
+slots flagged ``reset`` start from zero state (the reference's
+``stream.state = state_init`` after each final segment,
+streaming_server.py:531).  One host<->device round trip per tick,
+regardless of how many streams are active — the XLA-recompile failure mode
+the reference's TorchScript comments warn about (streaming_server.py:666-675)
+is eliminated by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from asr_streaming_tpu.models.asr import (
+    ASRConfig, asr_stream_step, init_asr_params, init_asr_state,
+)
+from asr_streaming_tpu.models.emformer import EmformerState
+from asr_streaming_tpu.models.vad import (
+    SileroConfig, init_silero_params, silero_chunk_probs, silence_runs,
+    energy_gate,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ServingConfig:
+    asr: ASRConfig = dataclasses.field(default_factory=ASRConfig)
+    silero: SileroConfig = dataclasses.field(default_factory=SileroConfig)
+    vad_threshold: float = 0.5
+    energy_threshold_db: float = -55.0
+    use_energy_gate: bool = True
+    # Use the neural VAD for the second stage; when False, per-window energy
+    # substitutes (deterministic — for tests and for deployments without
+    # trained VAD weights).
+    use_silero: bool = True
+
+
+class ServingOutput(NamedTuple):
+    decoded: jax.Array        # [B] bool — encoder state advanced
+    gate_speech: jax.Array    # [B] bool — first-stage gate
+    silero_speech: jax.Array  # [B] bool — neural VAD verdict
+    lead_silence: jax.Array   # [B] f32 seconds (reference get_speech_probs)
+    trail_silence: jax.Array  # [B] f32 seconds
+    argmax: jax.Array         # [B, U] int32
+    frame_max: jax.Array      # [B, U] f32
+    log_probs: jax.Array      # [B, U, V] f32
+    state: EmformerState
+
+
+def init_serving_params(key: jax.Array, cfg: ServingConfig) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        **init_asr_params(k1, cfg.asr),
+        "vad": init_silero_params(k2, cfg.silero),
+    }
+
+
+def init_serving_state(cfg: ServingConfig, max_slots: int) -> EmformerState:
+    return init_asr_state(cfg.asr, max_slots)
+
+
+def _select_state(mask: jax.Array, new: EmformerState,
+                  old: EmformerState) -> EmformerState:
+    """Per-slot state select; mask: [B] bool (batch is axis 1 for the
+    stacked layer tensors, axis 0 for length)."""
+    m4 = mask[None, :, None, None]
+    return EmformerState(
+        mem=jnp.where(m4, new.mem, old.mem),
+        lc_k=jnp.where(m4, new.lc_k, old.lc_k),
+        lc_v=jnp.where(m4, new.lc_v, old.lc_v),
+        length=jnp.where(mask, new.length, old.length),
+    )
+
+
+def serving_step(params: dict, cfg: ServingConfig, wave: jax.Array,
+                 contain_token: jax.Array, active: jax.Array,
+                 reset: jax.Array, state: EmformerState) -> ServingOutput:
+    """One batched decode tick.
+
+    Args:
+      wave: [B, chunk_length] — each active slot's ring-buffer window.
+      contain_token: [B] bool — stream already has tokens in the current
+        utterance (VADs bypassed, reference streaming_server.py:374-390).
+      active: [B] bool — slot holds a stream with a ready chunk.
+      reset: [B] bool — zero this slot's encoder state before stepping
+        (new stream or just-finalized segment).
+    """
+    zero = init_asr_state(cfg.asr, wave.shape[0])
+    state = _select_state(reset, zero, state)
+
+    audio_cfg = cfg.asr.audio
+    new_segment = wave[:, audio_cfg.buffer_length:]
+    if cfg.use_energy_gate:
+        gate = energy_gate(new_segment, audio_cfg.sample_rate,
+                           threshold_db=cfg.energy_threshold_db)
+    else:
+        gate = jnp.ones(wave.shape[0], bool)
+
+    if cfg.use_silero:
+        probs = silero_chunk_probs(params["vad"], cfg.silero, wave)
+        speech_windows = probs > cfg.vad_threshold
+    else:
+        w = cfg.silero.window
+        n_win = wave.shape[1] // w
+        frames = wave[:, :n_win * w].reshape(wave.shape[0], n_win, w)
+        db = 10.0 * jnp.log10(jnp.mean(frames ** 2, axis=-1) + 1e-12)
+        speech_windows = db > cfg.energy_threshold_db
+    silero_speech = jnp.any(speech_windows, axis=1)
+    window_seconds = cfg.silero.window / cfg.silero.sample_rate
+    lead, trail = silence_runs(speech_windows, window_seconds)
+
+    decode = active & (contain_token | (gate & silero_speech))
+
+    out = asr_stream_step(params, cfg.asr, wave, state)
+    new_state = _select_state(decode, out.state, state)
+
+    return ServingOutput(
+        decoded=decode, gate_speech=gate, silero_speech=silero_speech,
+        lead_silence=lead, trail_silence=trail,
+        argmax=out.argmax, frame_max=out.frame_max, log_probs=out.log_probs,
+        state=new_state,
+    )

@@ -1,0 +1,177 @@
+"""Continuous-batching scheduler: N streams -> one fixed-shape TPU step/tick.
+
+The idiomatic TPU replacement for both the reference's inline
+per-connection pipeline (reference: streaming_decoder/streaming_server.py:
+371-572) and its v1 multi-stream batching engine (streaming_decoder_v1/
+streaming_asr.py:16-119): streams occupy fixed slots in a [max_slots, ...]
+device-resident state; every tick gathers at most one ready chunk per
+stream, runs ONE jitted serving step, and scatters per-stream events back.
+Slot count is static, so there is exactly one XLA compilation for the
+lifetime of the server no matter how streams churn (the failure mode the
+reference's TorchScript notes warn about, streaming_server.py:666-681).
+
+The scheduler is transport-agnostic: the websocket server feeds
+``accept_waveform`` and consumes ``StreamEvent``s; final segments carry the
+accumulated emission for the host-side beam rescorer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from asr_streaming_tpu.models.serving import (
+    ServingConfig, serving_step, init_serving_state,
+)
+from asr_streaming_tpu.streaming.stream import Stream, FinalSegment
+from asr_streaming_tpu.streaming.endpoint import NgramEndpointCost
+from asr_streaming_tpu.utils.audio import AudioConfig
+
+
+@dataclasses.dataclass
+class StreamEvent:
+    """One event to deliver to a client."""
+    stream_id: str
+    kind: str                   # "partial" | "final"
+    text: str = ""
+    is_final: bool = False
+    segment: Optional[FinalSegment] = None
+    utterance_seconds: float = 0.0
+    stream: Optional[Stream] = None
+
+
+class Scheduler:
+    def __init__(self, params: dict, cfg: ServingConfig,
+                 vocab: Sequence[str], max_slots: int = 8,
+                 language: str = "vi",
+                 rules: Optional[dict] = None,
+                 ngram_cost: Optional[NgramEndpointCost] = None,
+                 donate_state: bool = True):
+        self.params = params
+        self.cfg = cfg
+        self.vocab = list(vocab)
+        self.max_slots = max_slots
+        self.language = language
+        self.rules = rules
+        self.ngram_cost = ngram_cost
+
+        self.device_state = init_serving_state(cfg, max_slots)
+        self.streams: Dict[int, Stream] = {}     # slot -> stream
+        self._free = list(range(max_slots))[::-1]
+        self._needs_reset = np.zeros(max_slots, bool)
+        self._wave = np.zeros((max_slots, cfg.asr.audio.chunk_length),
+                              np.float32)
+
+        donate = (4,) if donate_state else ()  # the EmformerState arg
+        self._step = jax.jit(
+            partial(serving_step, self.params, self.cfg),
+            donate_argnums=donate)
+
+        # per-tick timing telemetry
+        self.last_tick_seconds = 0.0
+        self.ticks = 0
+
+    # ------------------------------------------------------------- lifecycle
+
+    @property
+    def num_active(self) -> int:
+        return len(self.streams)
+
+    def admit(self, stream_id: str) -> Optional[Stream]:
+        """Allocate a slot; None if the server is full (admission control,
+        reference streaming_server.py:238-247)."""
+        if not self._free:
+            return None
+        slot = self._free.pop()
+        stream = Stream(self.cfg.asr.audio, self.vocab,
+                        language=self.language, rules=self.rules,
+                        ngram_cost=self.ngram_cost, stream_id=stream_id)
+        stream._slot = slot
+        self.streams[slot] = stream
+        self._needs_reset[slot] = True
+        return stream
+
+    def release(self, stream: Stream) -> None:
+        slot = stream._slot
+        if self.streams.get(slot) is stream:
+            del self.streams[slot]
+            self._needs_reset[slot] = True
+            self._free.append(slot)
+
+    # ------------------------------------------------------------------ tick
+
+    def has_work(self) -> bool:
+        return any(s.has_chunk() for s in self.streams.values())
+
+    def tick(self) -> List[StreamEvent]:
+        """Process one chunk for every stream that has one ready."""
+        t0 = time.perf_counter()
+        ready = [(slot, s) for slot, s in self.streams.items()
+                 if s.has_chunk()]
+        if not ready:
+            return []
+
+        B = self.max_slots
+        active = np.zeros(B, bool)
+        contain = np.zeros(B, bool)
+        self._wave[:] = 0.0
+        for slot, s in ready:
+            active[slot] = True
+            contain[slot] = s.is_contain_token
+            self._wave[slot] = s.chunk()
+
+        out = self._step(jnp.asarray(self._wave), jnp.asarray(contain),
+                         jnp.asarray(active), jnp.asarray(self._needs_reset),
+                         self.device_state)
+        self.device_state = out.state
+        self._needs_reset[:] = False
+
+        decoded = np.asarray(out.decoded)
+        argmax = np.asarray(out.argmax)
+        log_probs = np.asarray(out.log_probs)
+        trail = np.asarray(out.trail_silence)
+        lead = np.asarray(out.lead_silence)
+
+        events: List[StreamEvent] = []
+        for slot, s in ready:
+            if decoded[slot]:
+                if self.language == "vi":
+                    s.apply_decode(argmax[slot], log_probs[slot])
+                else:
+                    # EN path consumes silero timing (reference
+                    # streaming_server.py:444-455); RNNT decode hook TBD.
+                    s.apply_decode(argmax[slot], log_probs[slot])
+            else:
+                s.skip_silence()
+
+            is_final, utt_len = s.check_endpoint()
+            if is_final:
+                self._needs_reset[slot] = True  # state_init on next tick
+                seg = s.take_final_segment(utt_len)
+                events.append(StreamEvent(
+                    stream_id=s.id, kind="final", text=seg.transcript_greedy,
+                    is_final=True, segment=seg, utterance_seconds=utt_len,
+                    stream=s))
+            elif decoded[slot] and s.transcript_internal.strip():
+                events.append(StreamEvent(
+                    stream_id=s.id, kind="partial",
+                    text=s.transcript_internal, stream=s))
+
+        self.ticks += 1
+        self.last_tick_seconds = time.perf_counter() - t0
+        return events
+
+    def drain(self, max_ticks: int = 10_000) -> List[StreamEvent]:
+        """Run ticks until no stream has a ready chunk."""
+        events: List[StreamEvent] = []
+        for _ in range(max_ticks):
+            if not self.has_work():
+                break
+            events.extend(self.tick())
+        return events
