@@ -1,0 +1,118 @@
+"""Server entry point: ``python -m asr_streaming_tpu.server``.
+
+Equivalent of the reference's ``streaming_server.py main()`` (reference:
+streaming_decoder/streaming_server.py:613-661): argparse flags + env vars
+(PORT, LANGUAGE, NORM_PORT) + YAML config, then model load and serve.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_server(settings, max_slots=None):
+    from asr_streaming_tpu.models.asr import ASRConfig
+    from asr_streaming_tpu.models.serving import (
+        ServingConfig, init_serving_params,
+    )
+    from asr_streaming_tpu.streaming.scheduler import Scheduler
+    from asr_streaming_tpu.server.ws_server import StreamingServer
+    from asr_streaming_tpu.text.vocab import load_vocab, placeholder_vocab
+    from asr_streaming_tpu.utils.checkpoint import load_params
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        settings.compute_dtype]
+    asr_cfg = ASRConfig.vietnamese(compute_dtype=dtype)
+    cfg = ServingConfig(asr=asr_cfg, use_silero=settings.use_silero)
+
+    params = init_serving_params(jax.random.PRNGKey(0), cfg)
+    if settings.checkpoint:
+        params = load_params(settings.checkpoint, like=params)
+        logging.info("loaded checkpoint %s", settings.checkpoint)
+    else:
+        logging.warning("no checkpoint configured — serving random weights")
+
+    if settings.vocab_path:
+        vocab = load_vocab(settings.vocab_path)
+    else:
+        vocab = placeholder_vocab(cfg.asr.encoder.vocab_size)
+
+    scheduler = Scheduler(
+        params, cfg, vocab,
+        max_slots=max_slots or settings.max_active_connections,
+        language=settings.language,
+        rules=settings.endpoint_rules,
+        ngram_cost=settings.ngram_cost())
+
+    rescorer = None
+    if settings.lexicon_path and settings.lm_path:
+        from asr_streaming_tpu.decode.beam import make_rescorer
+        rescorer = make_rescorer(
+            vocab, settings.lexicon_path, settings.lm_path,
+            lm_weight=settings.lm_weight, beam_size=settings.beam_size,
+            beam_size_token=settings.beam_size_token,
+            beam_threshold=settings.beam_threshold,
+            word_score=settings.word_score)
+
+    normalizer = None
+    if settings.norm_url:
+        import urllib.request
+        import urllib.parse
+
+        def normalizer(text: str) -> str:
+            # reference utils.py:52-57 (incl. the phantram -> % fixup)
+            data = urllib.parse.urlencode({"text": text}).encode()
+            try:
+                with urllib.request.urlopen(settings.norm_url, data=data,
+                                            timeout=5) as r:
+                    return r.read().decode().replace("phantram", "%")
+            except Exception:
+                logging.exception("normalizer call failed")
+                return text
+
+    return StreamingServer(
+        scheduler, rescorer=rescorer, normalizer=normalizer,
+        doc_root=settings.doc_root, certificate=settings.certificate,
+        send_internal=settings.send_internal,
+        filter_noise=settings.filter_noise,
+        noise_threshold_db=settings.noise_threshold_db)
+
+
+def main():
+    from asr_streaming_tpu.server.config import ServerSettings
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--port", type=int,
+                        default=int(os.environ.get("PORT", 6006)))
+    parser.add_argument("--max-active-connections", type=int, default=None)
+    parser.add_argument("--max-message-size", type=int, default=1 << 20)
+    parser.add_argument("--max-queue-size", type=int, default=32)
+    parser.add_argument("--certificate", type=str, default=None)
+    parser.add_argument("--doc-root", type=str, default=None)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    settings = ServerSettings.load(args.config)
+    if args.certificate:
+        settings.certificate = args.certificate
+    if args.doc_root:
+        settings.doc_root = args.doc_root
+    if args.max_active_connections:
+        settings.max_active_connections = args.max_active_connections
+
+    server = build_server(settings)
+    server.max_message_size = args.max_message_size
+    server.max_queue_size = args.max_queue_size
+    asyncio.run(server.run(args.port))
+
+
+if __name__ == "__main__":
+    main()

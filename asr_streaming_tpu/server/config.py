@@ -1,0 +1,118 @@
+"""Server configuration: YAML + env overrides.
+
+Mirrors the reference's OmegaConf config surface (reference:
+streaming_decoder/config/asr-online.yaml, env vars PORT/LANGUAGE at
+streaming_server.py:15,53,143) without the Hydra dependency: a plain YAML
+file with the same sections (language, audio geometry, endpointing rules,
+LM paths, VAD/speaker thresholds) plus framework-specific keys (checkpoint
+path, slots, dtype).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Any, Dict, Optional
+
+import yaml
+
+from asr_streaming_tpu.streaming.endpoint import (
+    EN_DEFAULT_RULES, NgramEndpointCost, VI_DEFAULT_RULES,
+    load_endpoint_rules,
+)
+from asr_streaming_tpu.utils.audio import AudioConfig, EN_AUDIO, VI_AUDIO
+
+
+@dataclasses.dataclass
+class ServerSettings:
+    language: str = "vi"
+    port: int = 6006
+    max_active_connections: int = 512
+    send_internal: bool = True
+    save_audio: bool = False
+    filter_noise: bool = False
+    noise_threshold_db: float = -40.0
+    compute_dtype: str = "bfloat16"
+    checkpoint: Optional[str] = None
+    vocab_path: Optional[str] = None
+    lexicon_path: Optional[str] = None
+    lm_path: Optional[str] = None              # ARPA for beam rescoring
+    lm_endpointing_path: Optional[str] = None  # ARPA for endpoint cost
+    vad_weights: Optional[str] = None
+    doc_root: Optional[str] = None
+    certificate: Optional[str] = None
+    norm_url: Optional[str] = None             # text normalizer sidecar
+    speaker_wav: Optional[str] = None
+    speaker_threshold: float = 0.45
+    audio: AudioConfig = dataclasses.field(default_factory=lambda: VI_AUDIO)
+    endpoint_rules: Dict = dataclasses.field(
+        default_factory=lambda: VI_DEFAULT_RULES)
+    use_silero: bool = True
+    lm_weight: float = 1.0
+    beam_size: int = 50
+    beam_size_token: int = 5
+    beam_threshold: float = 50.0
+    word_score: float = 0.5
+
+    @classmethod
+    def load(cls, path: Optional[str] = None,
+             env: Optional[dict] = None) -> "ServerSettings":
+        env = env if env is not None else os.environ
+        blob: Dict[str, Any] = {}
+        if path:
+            with open(path) as f:
+                blob = yaml.safe_load(f) or {}
+
+        s = cls()
+        s.language = env.get("LANGUAGE", blob.get("language", s.language))
+        s.port = int(env.get("PORT", blob.get("port", s.port)))
+        if s.language == "en":
+            s.audio = EN_AUDIO
+            s.endpoint_rules = EN_DEFAULT_RULES
+        for key in ("send_internal", "save_audio", "filter_noise",
+                    "compute_dtype", "checkpoint", "vocab_path",
+                    "lexicon_path", "lm_path", "lm_endpointing_path",
+                    "vad_weights", "doc_root", "certificate", "speaker_wav",
+                    "use_silero", "lm_weight", "beam_size", "beam_size_token",
+                    "beam_threshold", "word_score",
+                    "max_active_connections"):
+            if key in blob:
+                setattr(s, key, blob[key])
+        if "noise_threashold" in blob:     # reference's (sic) key
+            s.noise_threshold_db = blob["noise_threashold"]
+        if "noise_threshold_db" in blob:
+            s.noise_threshold_db = blob["noise_threshold_db"]
+        if "speaker_threshold" in blob:
+            s.speaker_threshold = blob["speaker_threshold"]
+        if "audio" in blob:
+            a = blob["audio"]
+            s.audio = AudioConfig(
+                sample_rate=a.get("sample_rate", 16000),
+                hop_seconds=a.get("hop_length", 0.01),
+                segment_size=a.get("segment_size", 64),
+                context_size=a.get("context_size", 16),
+                bias=a.get("bias", 4),
+                framerate=a.get("framerate", 4))
+        if "Endpointing_rules" in blob:
+            # reference layout: {ruleset: {rule: {...}}}; use the DEFAULT set
+            rules = blob["Endpointing_rules"]
+            ruleset = rules.get("DEFAULT", next(iter(rules.values())))
+            ruleset = {k: {kk: (math.inf if vv == ".inf" else vv)
+                           for kk, vv in v.items()}
+                       for k, v in ruleset.items()}
+            s.endpoint_rules = load_endpoint_rules(ruleset)
+        if "endpoint_rules" in blob:
+            s.endpoint_rules = load_endpoint_rules(blob["endpoint_rules"])
+        norm_port = env.get("NORM_PORT")
+        if norm_port and not s.norm_url:
+            s.norm_url = f"http://localhost:{norm_port}/cleanoutput"
+        if "norm_url" in blob:
+            s.norm_url = blob["norm_url"]
+        return s
+
+    def ngram_cost(self) -> NgramEndpointCost:
+        if self.lm_endpointing_path and os.path.exists(
+                self.lm_endpointing_path):
+            return NgramEndpointCost.from_arpa(self.lm_endpointing_path)
+        return NgramEndpointCost()

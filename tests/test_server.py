@@ -1,0 +1,131 @@
+"""Websocket server protocol E2E (tiny model, in-process client)."""
+
+import asyncio
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+import websockets
+
+from asr_streaming_tpu.models.asr import ASRConfig
+from asr_streaming_tpu.models.serving import ServingConfig, init_serving_params
+from asr_streaming_tpu.streaming.scheduler import Scheduler
+from asr_streaming_tpu.streaming.endpoint import EndpointRule
+from asr_streaming_tpu.server.ws_server import StreamingServer
+from asr_streaming_tpu.server.protocol import parse_text_message
+
+VOCAB = ["-", "|"] + [chr(ord("a") + i) for i in range(19)]
+FLUSH_RULES = {"flush": EndpointRule(True, 0.0, 1.9, float("inf"))}
+PORT = 18200 + (os.getpid() % 300)  # avoid collisions with stale runs
+
+
+def build_server(max_slots=4):
+    cfg = ServingConfig(asr=ASRConfig.tiny(vocab_size=len(VOCAB)),
+                        use_silero=False)
+    params = init_serving_params(jax.random.PRNGKey(0), cfg)
+    sched = Scheduler(params, cfg, VOCAB, max_slots=max_slots,
+                      rules=FLUSH_RULES)
+    return StreamingServer(sched, tick_idle_sleep=0.002)
+
+
+def pcm_bytes(seconds, seed=0, level=0.3):
+    rng = np.random.default_rng(seed)
+    f = rng.standard_normal(int(16000 * seconds)) * level
+    return (np.clip(f, -1, 1) * 32767).astype(np.int16).tobytes()
+
+
+async def _run_client(port):
+    messages = []
+    async with websockets.connect(
+            f"ws://127.0.0.1:{port}/voice/api/asr/v1/ws/decode_online"
+            f"?content-type=audio/x-raw,+layout=(string)interleaved,"
+            f"+rate=(int)16000") as ws:
+        # stream 3 s of "speech" in 0.25 s packets
+        data = pcm_bytes(3.0)
+        step = 16000 // 4 * 2
+        for i in range(0, len(data), step):
+            await ws.send(data[i:i + step])
+            await asyncio.sleep(0.01)
+        await ws.send(json.dumps({"__COMMAND__": "__EOS__"}))
+        while True:
+            msg = await asyncio.wait_for(ws.recv(), timeout=30)
+            messages.append(msg)
+            if msg == "__REQUEST_COMPLETED__":
+                break
+    return messages
+
+
+async def _run_test():
+    server = build_server()
+    server_task = asyncio.create_task(server.run(PORT))
+    await asyncio.sleep(0.3)
+    try:
+        messages = await _run_client(PORT)
+    finally:
+        server_task.cancel()
+        if server._tick_task:
+            server._tick_task.cancel()
+    return messages
+
+
+def test_ws_protocol_end_to_end():
+    messages = asyncio.run(_run_test())
+    assert messages[-1] == "__REQUEST_COMPLETED__"
+    parsed = [json.loads(m) for m in messages[:-1]]
+    finals = [m for m in parsed if m["result"].get("final")]
+    partials = [m for m in parsed if not m["result"].get("final")]
+    assert len(finals) >= 1, parsed
+    assert len(partials) >= 1
+    f = finals[0]
+    hyp = f["result"]["hypotheses"][0]
+    assert hyp["transcript"].strip() != ""
+    assert f["segment_length"] > 0
+    # schema parity with the reference DecodedResult
+    for key in ("id", "status", "msg", "segment", "segment_start",
+                "segment_length", "total_length", "message_type",
+                "word_start", "word_end", "snr", "vol_noise", "vol_speech",
+                "is_speaker"):
+        assert key in f, key
+
+
+def test_http_fallback(tmp_path):
+    (tmp_path / "index.html").write_text("<html>asr</html>")
+
+    async def run():
+        server = build_server()
+        server.static = __import__(
+            "asr_streaming_tpu.server.http_static",
+            fromlist=["StaticFiles"]).StaticFiles(str(tmp_path))
+        task = asyncio.create_task(server.run(PORT + 1))
+        await asyncio.sleep(0.3)
+        try:
+            import urllib.request
+
+            def fetch():
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{PORT + 1}/", timeout=10) as r:
+                    return r.read()
+
+            return await asyncio.to_thread(fetch)
+        finally:
+            task.cancel()
+            if server._tick_task:
+                server._tick_task.cancel()
+
+    body = asyncio.run(run())
+    assert b"asr" in body
+
+
+def test_parse_text_message():
+    assert parse_text_message("Done").kind == "eos"
+    assert parse_text_message("EOS").kind == "eos"
+    cmd = parse_text_message(json.dumps({
+        "__COMMAND__": "__SET_AUDIO_FORMAT__",
+        "__ARGUMENT__": {"sample_rate": 44100},
+        "request-id": "r1"}))
+    assert cmd.kind == "set_format"
+    assert cmd.sample_rate == 44100
+    assert cmd.request_id == "r1"
+    assert parse_text_message("garbage{").kind == "unknown"
