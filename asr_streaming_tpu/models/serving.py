@@ -21,7 +21,7 @@ is eliminated by construction.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -30,10 +30,15 @@ from asr_streaming_tpu.models.asr import (
     ASRConfig, asr_stream_step, init_asr_params, init_asr_state,
 )
 from asr_streaming_tpu.models.emformer import EmformerState
+from asr_streaming_tpu.models.rnnt import (
+    RNNTConfig, RNNTStreamState, init_rnnt_params, init_rnnt_state,
+    rnnt_greedy_stream_step,
+)
 from asr_streaming_tpu.models.vad import (
     SileroConfig, init_silero_params, silero_chunk_probs, silence_runs,
     energy_gate,
 )
+from asr_streaming_tpu.ops.frontend import MelConfig, make_mel_params, log_mel
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +52,10 @@ class ServingConfig:
     # substitutes (deterministic — for tests and for deployments without
     # trained VAD weights).
     use_silero: bool = True
+    # "ctc" (Vietnamese LightningASR path) or "rnnt" (English EmformerRNNT
+    # path, reference streaming_server.py:441-465).
+    model_kind: str = "ctc"
+    rnnt: Optional["RNNTConfig"] = None
 
 
 class ServingOutput(NamedTuple):
@@ -61,15 +70,33 @@ class ServingOutput(NamedTuple):
     state: EmformerState
 
 
+ServingState = Union[EmformerState, RNNTStreamState]
+
+
 def init_serving_params(key: jax.Array, cfg: ServingConfig) -> dict:
     k1, k2 = jax.random.split(key)
+    if cfg.model_kind == "rnnt":
+        assert cfg.rnnt is not None
+        return {
+            **init_rnnt_params(k1, cfg.rnnt),
+            "en_frontend": make_mel_params(MelConfig.for_english()
+                                           if cfg.rnnt.n_mels == 80 else
+                                           _tiny_en_mel(cfg.rnnt.n_mels)),
+            "vad": init_silero_params(k2, cfg.silero),
+        }
     return {
         **init_asr_params(k1, cfg.asr),
         "vad": init_silero_params(k2, cfg.silero),
     }
 
 
-def init_serving_state(cfg: ServingConfig, max_slots: int) -> EmformerState:
+def _tiny_en_mel(n_mels: int) -> MelConfig:
+    return dataclasses.replace(MelConfig.for_english(), n_mels=n_mels)
+
+
+def init_serving_state(cfg: ServingConfig, max_slots: int) -> ServingState:
+    if cfg.model_kind == "rnnt":
+        return init_rnnt_state(cfg.rnnt, max_slots)
     return init_asr_state(cfg.asr, max_slots)
 
 
@@ -103,25 +130,8 @@ def serving_step(params: dict, cfg: ServingConfig, wave: jax.Array,
     state = _select_state(reset, zero, state)
 
     audio_cfg = cfg.asr.audio
-    new_segment = wave[:, audio_cfg.buffer_length:]
-    if cfg.use_energy_gate:
-        gate = energy_gate(new_segment, audio_cfg.sample_rate,
-                           threshold_db=cfg.energy_threshold_db)
-    else:
-        gate = jnp.ones(wave.shape[0], bool)
-
-    if cfg.use_silero:
-        probs = silero_chunk_probs(params["vad"], cfg.silero, wave)
-        speech_windows = probs > cfg.vad_threshold
-    else:
-        w = cfg.silero.window
-        n_win = wave.shape[1] // w
-        frames = wave[:, :n_win * w].reshape(wave.shape[0], n_win, w)
-        db = 10.0 * jnp.log10(jnp.mean(frames ** 2, axis=-1) + 1e-12)
-        speech_windows = db > cfg.energy_threshold_db
-    silero_speech = jnp.any(speech_windows, axis=1)
-    window_seconds = cfg.silero.window / cfg.silero.sample_rate
-    lead, trail = silence_runs(speech_windows, window_seconds)
+    gate, silero_speech, lead, trail = _vad_stage(
+        params, cfg, wave, audio_cfg.buffer_length, audio_cfg.sample_rate)
 
     decode = active & (contain_token | (gate & silero_speech))
 
@@ -134,3 +144,80 @@ def serving_step(params: dict, cfg: ServingConfig, wave: jax.Array,
         argmax=out.argmax, frame_max=out.frame_max, log_probs=out.log_probs,
         state=new_state,
     )
+
+
+class ServingOutputRNNT(NamedTuple):
+    decoded: jax.Array
+    gate_speech: jax.Array
+    silero_speech: jax.Array
+    lead_silence: jax.Array
+    trail_silence: jax.Array
+    tokens: jax.Array       # [B, U*K] int32 (blank-padded)
+    n_emitted: jax.Array    # [B]
+    state: RNNTStreamState
+
+
+def _vad_stage(params: dict, cfg: ServingConfig, wave: jax.Array,
+               buffer_length: int, sample_rate: int):
+    new_segment = wave[:, buffer_length:]
+    if cfg.use_energy_gate:
+        gate = energy_gate(new_segment, sample_rate,
+                           threshold_db=cfg.energy_threshold_db)
+    else:
+        gate = jnp.ones(wave.shape[0], bool)
+    if cfg.use_silero:
+        probs = silero_chunk_probs(params["vad"], cfg.silero, wave)
+        speech_windows = probs > cfg.vad_threshold
+    else:
+        w = cfg.silero.window
+        n_win = wave.shape[1] // w
+        frames = wave[:, :n_win * w].reshape(wave.shape[0], n_win, w)
+        db = 10.0 * jnp.log10(jnp.mean(frames ** 2, axis=-1) + 1e-12)
+        speech_windows = db > cfg.energy_threshold_db
+    silero_speech = jnp.any(speech_windows, axis=1)
+    window_seconds = cfg.silero.window / cfg.silero.sample_rate
+    lead, trail = silence_runs(speech_windows, window_seconds)
+    return gate, silero_speech, lead, trail
+
+
+def serving_step_rnnt(params: dict, cfg: ServingConfig, wave: jax.Array,
+                      contain_token: jax.Array, active: jax.Array,
+                      reset: jax.Array, state: RNNTStreamState
+                      ) -> ServingOutputRNNT:
+    """English-path tick: VAD + batched device-side greedy RNNT decode
+    (reference streaming_server.py:441-465 runs torchaudio beam search on
+    host per stream; here greedy decode is batched on device, with the
+    host beam available for final rescoring)."""
+    rnnt = cfg.rnnt
+    zero = init_rnnt_state(rnnt, wave.shape[0])
+    state = jax.tree.map(
+        lambda z, s: jnp.where(
+            reset.reshape((1, -1) + (1,) * (s.ndim - 2))
+            if s.ndim > 1 else reset, z, s), zero, state)
+
+    audio_cfg = cfg.asr.audio
+    gate, silero_speech, lead, trail = _vad_stage(
+        params, cfg, wave, audio_cfg.buffer_length, audio_cfg.sample_rate)
+    decode = active & (contain_token | (gate & silero_speech))
+
+    mel_cfg = (MelConfig.for_english() if rnnt.n_mels == 80
+               else _tiny_en_mel(rnnt.n_mels))
+    feats = log_mel(params["en_frontend"], mel_cfg, wave)
+    # center=True yields one extra frame; trim to a multiple of the
+    # reduction stride so the chunk reduces to segment + rc frames.
+    em = rnnt.emformer
+    want = (em.segment_length + em.right_context_length) * 4
+    feats = feats[:, :want]
+
+    out = rnnt_greedy_stream_step(params, rnnt, feats, state, active=decode)
+    return ServingOutputRNNT(
+        decoded=decode, gate_speech=gate, silero_speech=silero_speech,
+        lead_silence=lead, trail_silence=trail,
+        tokens=out.tokens, n_emitted=out.n_emitted, state=out.state)
+
+
+def make_serving_step(cfg: ServingConfig):
+    """Return the jit-able step function for this config's model kind."""
+    if cfg.model_kind == "rnnt":
+        return serving_step_rnnt
+    return serving_step

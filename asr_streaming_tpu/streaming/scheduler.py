@@ -27,8 +27,9 @@ import jax
 import jax.numpy as jnp
 
 from asr_streaming_tpu.models.serving import (
-    ServingConfig, serving_step, init_serving_state,
+    ServingConfig, make_serving_step, init_serving_state,
 )
+from asr_streaming_tpu.models.rnnt import detokenize_pieces
 from asr_streaming_tpu.streaming.stream import Stream, FinalSegment
 from asr_streaming_tpu.streaming.endpoint import NgramEndpointCost
 from asr_streaming_tpu.utils.audio import AudioConfig
@@ -68,9 +69,9 @@ class Scheduler:
         self._wave = np.zeros((max_slots, cfg.asr.audio.chunk_length),
                               np.float32)
 
-        donate = (4,) if donate_state else ()  # the EmformerState arg
+        donate = (4,) if donate_state else ()  # the state arg
         self._step = jax.jit(
-            partial(serving_step, self.params, self.cfg),
+            partial(make_serving_step(cfg), self.params, self.cfg),
             donate_argnums=donate)
 
         # per-tick timing telemetry
@@ -133,20 +134,29 @@ class Scheduler:
         self._needs_reset[:] = False
 
         decoded = np.asarray(out.decoded)
-        argmax = np.asarray(out.argmax)
-        log_probs = np.asarray(out.log_probs)
         trail = np.asarray(out.trail_silence)
         lead = np.asarray(out.lead_silence)
+        is_rnnt = self.cfg.model_kind == "rnnt"
+        if is_rnnt:
+            tokens = np.asarray(out.tokens)
+            blank = self.cfg.rnnt.blank
+        else:
+            argmax = np.asarray(out.argmax)
+            log_probs = np.asarray(out.log_probs)
 
         events: List[StreamEvent] = []
+        partial_update = {}
         for slot, s in ready:
             if decoded[slot]:
-                if self.language == "vi":
-                    s.apply_decode(argmax[slot], log_probs[slot])
+                if is_rnnt:
+                    toks = [int(t) for t in tokens[slot] if t != blank]
+                    delta = detokenize_pieces(toks, self.vocab,
+                                              lstrip=False)
+                    s.apply_decode_en(delta, trail[slot], lead[slot])
+                    partial_update[slot] = bool(delta.strip())
                 else:
-                    # EN path consumes silero timing (reference
-                    # streaming_server.py:444-455); RNNT decode hook TBD.
                     s.apply_decode(argmax[slot], log_probs[slot])
+                    partial_update[slot] = True
             else:
                 s.skip_silence()
 
@@ -158,7 +168,10 @@ class Scheduler:
                     stream_id=s.id, kind="final", text=seg.transcript_greedy,
                     is_final=True, segment=seg, utterance_seconds=utt_len,
                     stream=s))
-            elif decoded[slot] and s.transcript_internal.strip():
+            elif decoded[slot] and partial_update.get(slot) and \
+                    s.transcript_internal.strip():
+                # (EN sends partials only on nonempty deltas — the
+                # reference's is_update flag, streaming_server.py:447-450)
                 events.append(StreamEvent(
                     stream_id=s.id, kind="partial",
                     text=s.transcript_internal, stream=s))

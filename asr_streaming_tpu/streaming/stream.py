@@ -155,6 +155,23 @@ class Stream:
             self.trailing_blank_duration += self.audio.segment_seconds
         return text
 
+    def apply_decode_en(self, text_delta: str, trail_silence: float,
+                        lead_silence: float = 0.0) -> str:
+        """EN/RNNT chunk outcome: incremental transcript deltas + Silero
+        timing (reference streaming_server.py:444-455 + stream.py:114-125).
+        """
+        if text_delta.strip() and not self.transcript_internal:
+            self.segment_start = lead_silence
+        self.transcript_internal += text_delta
+        self.chunk_processed += 1
+        self.chunk_processed_total += 1
+        if text_delta:
+            self.trailing_blank_duration = trail_silence
+            self.is_contain_token = True
+        else:
+            self.trailing_blank_duration += self.audio.segment_seconds
+        return text_delta
+
     def check_endpoint(self) -> Tuple[bool, float]:
         """Endpoint rules + window advance (reference stream.py:127-163).
 
