@@ -53,13 +53,18 @@ def build_server(settings, max_slots=None):
 
     rescorer = None
     if settings.lexicon_path and settings.lm_path:
-        from asr_streaming_tpu.decode.beam import make_rescorer
-        rescorer = make_rescorer(
-            vocab, settings.lexicon_path, settings.lm_path,
+        kwargs = dict(
             lm_weight=settings.lm_weight, beam_size=settings.beam_size,
             beam_size_token=settings.beam_size_token,
             beam_threshold=settings.beam_threshold,
             word_score=settings.word_score)
+        from asr_streaming_tpu.decode.beam_native import make_native_rescorer
+        rescorer = make_native_rescorer(
+            vocab, settings.lexicon_path, settings.lm_path, **kwargs)
+        if rescorer is None:   # no compiler: python fallback
+            from asr_streaming_tpu.decode.beam import make_rescorer
+            rescorer = make_rescorer(
+                vocab, settings.lexicon_path, settings.lm_path, **kwargs)
 
     normalizer = None
     if settings.norm_url:
