@@ -56,18 +56,25 @@ class ServingConfig:
     # path, reference streaming_server.py:441-465).
     model_kind: str = "ctc"
     rnnt: Optional["RNNTConfig"] = None
+    # Device-resident emission ring buffer length (CTC path).  Emissions
+    # stay in HBM and are fetched host-side only at segment finals —
+    # transferring [B, U, V] log-probs every tick costs ~10x the compute
+    # step over a thin host link.  1024 frames = 40.96 s > the 40 s hard
+    # endpoint flush (asr-online.yaml:103-107).
+    max_emission_frames: int = 1024
+    emission_dtype: str = "float16"
 
 
-class ServingOutput(NamedTuple):
-    decoded: jax.Array        # [B] bool — encoder state advanced
-    gate_speech: jax.Array    # [B] bool — first-stage gate
-    silero_speech: jax.Array  # [B] bool — neural VAD verdict
-    lead_silence: jax.Array   # [B] f32 seconds (reference get_speech_probs)
-    trail_silence: jax.Array  # [B] f32 seconds
-    argmax: jax.Array         # [B, U] int32
-    frame_max: jax.Array      # [B, U] f32
-    log_probs: jax.Array      # [B, U, V] f32
-    state: EmformerState
+# Host-pack layout: one [B, 5 + n] float32 array per tick (a single
+# device->host transfer; per-transfer latency dominates on thin links).
+PACK_DECODED, PACK_GATE, PACK_SILERO, PACK_LEAD, PACK_TRAIL, PACK_DATA = \
+    0, 1, 2, 3, 4, 5
+
+
+class ServingTickOutput(NamedTuple):
+    pack: jax.Array              # [B, 5+n] f32 (flags, lead, trail, data)
+    state: "ServingState"
+    emission: Optional[jax.Array]  # [B, MAX_T, V] device-resident (CTC)
 
 
 ServingState = Union[EmformerState, RNNTStreamState]
@@ -113,10 +120,54 @@ def _select_state(mask: jax.Array, new: EmformerState,
     )
 
 
+def init_emission_buffer(cfg: ServingConfig, max_slots: int) -> jax.Array:
+    """Device-resident per-slot emission ring buffer [B, MAX_T, V]."""
+    return jnp.zeros((max_slots, cfg.max_emission_frames,
+                      cfg.asr.encoder.vocab_size),
+                     dtype=jnp.dtype(cfg.emission_dtype))
+
+
+def make_emission_fetcher(cfg: ServingConfig):
+    """Bucketed jitted fetch of one slot's accumulated emission.
+
+    Returns fetch(emission_buf, slot, length) -> np [length, V] f32;
+    each power-of-two bucket compiles once."""
+    import numpy as np
+
+    fetchers = {}
+
+    def fetch(buf, slot: int, length: int):
+        bucket = 128
+        while bucket < length:
+            bucket *= 2
+        bucket = min(bucket, cfg.max_emission_frames)
+        if bucket not in fetchers:
+            fetchers[bucket] = jax.jit(
+                lambda b, s: jax.lax.dynamic_slice(
+                    b, (s, 0, 0),
+                    (1, bucket, b.shape[2]))[0].astype(jnp.float32),
+                static_argnums=())
+        out = np.asarray(fetchers[bucket](buf, jnp.int32(slot)))
+        return out[:length]
+
+    return fetch
+
+
+def _pack(decode, gate, silero, lead, trail, data_f32):
+    cols = [decode.astype(jnp.float32)[:, None],
+            gate.astype(jnp.float32)[:, None],
+            silero.astype(jnp.float32)[:, None],
+            lead.astype(jnp.float32)[:, None],
+            trail.astype(jnp.float32)[:, None],
+            data_f32]
+    return jnp.concatenate(cols, axis=1)
+
+
 def serving_step(params: dict, cfg: ServingConfig, wave: jax.Array,
                  contain_token: jax.Array, active: jax.Array,
-                 reset: jax.Array, state: EmformerState) -> ServingOutput:
-    """One batched decode tick.
+                 reset: jax.Array, state: EmformerState,
+                 emission_buf: jax.Array) -> ServingTickOutput:
+    """One batched decode tick (CTC / Vietnamese path).
 
     Args:
       wave: [B, chunk_length] — each active slot's ring-buffer window.
@@ -125,6 +176,8 @@ def serving_step(params: dict, cfg: ServingConfig, wave: jax.Array,
       active: [B] bool — slot holds a stream with a ready chunk.
       reset: [B] bool — zero this slot's encoder state before stepping
         (new stream or just-finalized segment).
+      emission_buf: [B, MAX_T, V] device-resident emission accumulator;
+        decoded frames are written at the slot's current length.
     """
     zero = init_asr_state(cfg.asr, wave.shape[0])
     state = _select_state(reset, zero, state)
@@ -138,23 +191,26 @@ def serving_step(params: dict, cfg: ServingConfig, wave: jax.Array,
     out = asr_stream_step(params, cfg.asr, wave, state)
     new_state = _select_state(decode, out.state, state)
 
-    return ServingOutput(
-        decoded=decode, gate_speech=gate, silero_speech=silero_speech,
-        lead_silence=lead, trail_silence=trail,
-        argmax=out.argmax, frame_max=out.frame_max, log_probs=out.log_probs,
-        state=new_state,
-    )
+    # Append emissions at each slot's pre-step length.  vmap'd
+    # dynamic_update_slice (contiguous rows) — NOT scatter, which
+    # serializes on TPU.  Non-decoding slots read-modify-write their
+    # existing rows (no-op).
+    B, U, V = out.log_probs.shape
+    pos = jnp.clip(state.length, 0, cfg.max_emission_frames - U)
+    existing = jax.vmap(
+        lambda buf, p: jax.lax.dynamic_slice(buf, (p, 0), (U, V))
+    )(emission_buf, pos)
+    new_rows = jnp.where(decode[:, None, None],
+                         out.log_probs.astype(emission_buf.dtype),
+                         existing)
+    emission_buf = jax.vmap(
+        lambda buf, rows, p: jax.lax.dynamic_update_slice(buf, rows, (p, 0))
+    )(emission_buf, new_rows, pos)
 
-
-class ServingOutputRNNT(NamedTuple):
-    decoded: jax.Array
-    gate_speech: jax.Array
-    silero_speech: jax.Array
-    lead_silence: jax.Array
-    trail_silence: jax.Array
-    tokens: jax.Array       # [B, U*K] int32 (blank-padded)
-    n_emitted: jax.Array    # [B]
-    state: RNNTStreamState
+    pack = _pack(decode, gate, silero_speech, lead, trail,
+                 out.argmax.astype(jnp.float32))
+    return ServingTickOutput(pack=pack, state=new_state,
+                             emission=emission_buf)
 
 
 def _vad_stage(params: dict, cfg: ServingConfig, wave: jax.Array,
@@ -182,8 +238,9 @@ def _vad_stage(params: dict, cfg: ServingConfig, wave: jax.Array,
 
 def serving_step_rnnt(params: dict, cfg: ServingConfig, wave: jax.Array,
                       contain_token: jax.Array, active: jax.Array,
-                      reset: jax.Array, state: RNNTStreamState
-                      ) -> ServingOutputRNNT:
+                      reset: jax.Array, state: RNNTStreamState,
+                      emission_buf: Optional[jax.Array] = None
+                      ) -> ServingTickOutput:
     """English-path tick: VAD + batched device-side greedy RNNT decode
     (reference streaming_server.py:441-465 runs torchaudio beam search on
     host per stream; here greedy decode is batched on device, with the
@@ -210,10 +267,9 @@ def serving_step_rnnt(params: dict, cfg: ServingConfig, wave: jax.Array,
     feats = feats[:, :want]
 
     out = rnnt_greedy_stream_step(params, rnnt, feats, state, active=decode)
-    return ServingOutputRNNT(
-        decoded=decode, gate_speech=gate, silero_speech=silero_speech,
-        lead_silence=lead, trail_silence=trail,
-        tokens=out.tokens, n_emitted=out.n_emitted, state=out.state)
+    pack = _pack(decode, gate, silero_speech, lead, trail,
+                 out.tokens.astype(jnp.float32))
+    return ServingTickOutput(pack=pack, state=out.state, emission=None)
 
 
 def make_serving_step(cfg: ServingConfig):

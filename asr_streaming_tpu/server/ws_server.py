@@ -112,16 +112,26 @@ class StreamingServer:
     # ------------------------------------------------------------- tick loop
 
     async def _tick_loop(self):
+        """Run scheduler ticks forever; survive per-tick failures
+        (log-and-continue, the reference's per-stage resilience posture —
+        streaming_server.py:393-465)."""
         loop = asyncio.get_running_loop()
         while True:
-            if self.scheduler.has_work():
-                events = await loop.run_in_executor(None, self.scheduler.tick)
-                for ev in events:
-                    q = self._outboxes.get(ev.stream_id)
-                    if q is not None:
-                        q.put_nowait(ev)
-            else:
-                await asyncio.sleep(self.tick_idle_sleep)
+            try:
+                if self.scheduler.has_work():
+                    events = await loop.run_in_executor(
+                        None, self.scheduler.tick)
+                    for ev in events:
+                        q = self._outboxes.get(ev.stream_id)
+                        if q is not None:
+                            q.put_nowait(ev)
+                else:
+                    await asyncio.sleep(self.tick_idle_sleep)
+            except asyncio.CancelledError:
+                raise
+            except Exception:
+                logger.exception("tick failed; continuing")
+                await asyncio.sleep(0.05)
 
     # -------------------------------------------------------------- handlers
 
@@ -293,6 +303,11 @@ class StreamingServer:
         if self.certificate:
             ssl_context = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
             ssl_context.load_cert_chain(self.certificate)
+        logger.info("compiling %d-slot serving step...",
+                    self.scheduler.max_slots)
+        loop = asyncio.get_running_loop()
+        compile_s = await loop.run_in_executor(None, self.scheduler.warmup)
+        logger.info("serving step compiled in %.1fs", compile_s)
         self._tick_task = asyncio.create_task(self._tick_loop())
         async with serve(
             self.handler, host=host or None, port=port,

@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 
 from asr_streaming_tpu.models.serving import (
-    ServingConfig, make_serving_step, init_serving_state,
+    PACK_DATA, PACK_DECODED, PACK_LEAD, PACK_TRAIL, ServingConfig,
+    init_emission_buffer, init_serving_state, make_emission_fetcher,
+    make_serving_step,
 )
 from asr_streaming_tpu.models.rnnt import detokenize_pieces
 from asr_streaming_tpu.streaming.stream import Stream, FinalSegment
@@ -63,13 +65,20 @@ class Scheduler:
         self.ngram_cost = ngram_cost
 
         self.device_state = init_serving_state(cfg, max_slots)
+        self.is_rnnt = cfg.model_kind == "rnnt"
+        self.emission_buf = None if self.is_rnnt else \
+            init_emission_buffer(cfg, max_slots)
+        self._fetch_emission = None if self.is_rnnt else \
+            make_emission_fetcher(cfg)
         self.streams: Dict[int, Stream] = {}     # slot -> stream
         self._free = list(range(max_slots))[::-1]
         self._needs_reset = np.zeros(max_slots, bool)
         self._wave = np.zeros((max_slots, cfg.asr.audio.chunk_length),
                               np.float32)
 
-        donate = (4,) if donate_state else ()  # the state arg
+        # donate the carried device state (+ emission buffer on CTC)
+        donate = ((4, 5) if not self.is_rnnt else (4,)) \
+            if donate_state else ()
         self._step = jax.jit(
             partial(make_serving_step(cfg), self.params, self.cfg),
             donate_argnums=donate)
@@ -77,6 +86,30 @@ class Scheduler:
         # per-tick timing telemetry
         self.last_tick_seconds = 0.0
         self.ticks = 0
+
+    def warmup(self) -> float:
+        """Compile the serving step before accepting traffic (first XLA
+        compile takes minutes at full scale; the reference likewise
+        frontloads all model loading at server init,
+        streaming_server.py:108-215).  Returns compile seconds."""
+        t0 = time.perf_counter()
+        B = self.max_slots
+        wave = jnp.zeros((B, self.cfg.asr.audio.chunk_length), jnp.float32)
+        flags = jnp.zeros((B,), bool)
+        out = self._run_step(wave, flags, flags, flags)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    def _run_step(self, wave, contain, active, reset):
+        if self.is_rnnt:
+            out = self._step(wave, contain, active, reset,
+                             self.device_state)
+        else:
+            out = self._step(wave, contain, active, reset,
+                             self.device_state, self.emission_buf)
+            self.emission_buf = out.emission
+        self.device_state = out.state
+        return out
 
     # ------------------------------------------------------------- lifecycle
 
@@ -92,7 +125,8 @@ class Scheduler:
         slot = self._free.pop()
         stream = Stream(self.cfg.asr.audio, self.vocab,
                         language=self.language, rules=self.rules,
-                        ngram_cost=self.ngram_cost, stream_id=stream_id)
+                        ngram_cost=self.ngram_cost, stream_id=stream_id,
+                        keep_emission=False)  # emissions live on device
         stream._slot = slot
         self.streams[slot] = stream
         self._needs_reset[slot] = True
@@ -127,35 +161,32 @@ class Scheduler:
             contain[slot] = s.is_contain_token
             self._wave[slot] = s.chunk()
 
-        out = self._step(jnp.asarray(self._wave), jnp.asarray(contain),
-                         jnp.asarray(active), jnp.asarray(self._needs_reset),
-                         self.device_state)
-        self.device_state = out.state
+        out = self._run_step(
+            jnp.asarray(self._wave), jnp.asarray(contain),
+            jnp.asarray(active), jnp.asarray(self._needs_reset))
         self._needs_reset[:] = False
 
-        decoded = np.asarray(out.decoded)
-        trail = np.asarray(out.trail_silence)
-        lead = np.asarray(out.lead_silence)
-        is_rnnt = self.cfg.model_kind == "rnnt"
-        if is_rnnt:
-            tokens = np.asarray(out.tokens)
+        # ONE device->host transfer per tick: the packed [B, 5+n] array.
+        pack = np.asarray(out.pack)
+        decoded = pack[:, PACK_DECODED] > 0.5
+        lead = pack[:, PACK_LEAD]
+        trail = pack[:, PACK_TRAIL]
+        data = pack[:, PACK_DATA:].astype(np.int32)   # argmax / rnnt tokens
+        if self.is_rnnt:
             blank = self.cfg.rnnt.blank
-        else:
-            argmax = np.asarray(out.argmax)
-            log_probs = np.asarray(out.log_probs)
 
         events: List[StreamEvent] = []
         partial_update = {}
         for slot, s in ready:
             if decoded[slot]:
-                if is_rnnt:
-                    toks = [int(t) for t in tokens[slot] if t != blank]
+                if self.is_rnnt:
+                    toks = [int(t) for t in data[slot] if t != blank]
                     delta = detokenize_pieces(toks, self.vocab,
                                               lstrip=False)
                     s.apply_decode_en(delta, trail[slot], lead[slot])
                     partial_update[slot] = bool(delta.strip())
                 else:
-                    s.apply_decode(argmax[slot], log_probs[slot])
+                    s.apply_decode(data[slot])
                     partial_update[slot] = True
             else:
                 s.skip_silence()
@@ -163,7 +194,14 @@ class Scheduler:
             is_final, utt_len = s.check_endpoint()
             if is_final:
                 self._needs_reset[slot] = True  # state_init on next tick
+                emission_len = s.emission_length
                 seg = s.take_final_segment(utt_len)
+                if not self.is_rnnt and emission_len > 0:
+                    # fetch this segment's emissions from the device
+                    # buffer before the slot resets and overwrites them
+                    seg.emission = self._fetch_emission(
+                        self.emission_buf, slot, emission_len)
+                    seg.length = emission_len
                 events.append(StreamEvent(
                     stream_id=s.id, kind="final", text=seg.transcript_greedy,
                     is_final=True, segment=seg, utterance_seconds=utt_len,

@@ -1,21 +1,21 @@
 #!/usr/bin/env python
-"""Headline benchmark: concurrent RTF<=1 streams per TPU chip.
+"""Headline benchmark: concurrent RTF<=1 streams per TPU chip, end-to-end.
 
-Measures the steady-state latency of the fused 512-slot serving step
-(log-mel + VAD + 20-layer streaming Emformer + CTC + greedy stats, bf16)
-at the full Vietnamese production geometry, and converts it to the number
-of real-time streams one chip sustains: each stream needs one chunk
-decoded every 0.64 s (reference cadence, asr-online.yaml:112-118), so
+Measures the steady-state latency of a full scheduler tick at 512 slots —
+the fused device step (log-mel + VAD + 20-layer streaming Emformer + CTC +
+greedy, bf16, Vietnamese production geometry) PLUS the packed device->host
+transfer and all host-side per-stream state machines (greedy text, offset
+arithmetic, endpointing).  Each stream needs one chunk every 0.64 s
+(reference cadence, asr-online.yaml:112-118), so
 
-    streams = slots * (0.64 / step_seconds)
+    streams = slots * (0.64 / tick_seconds)
 
 Baseline: the reference's per-worker admission cap of 500 concurrent
 connections on a 12-CPU + 1-GPU container (streaming_server.py:78-86,
-docker-compose.yml:23-32); BASELINE.md north star: >=500 streams/chip.
+docker-compose.yml:23-32); BASELINE.md north star: >=500 streams/chip,
+p50 per-chunk latency < 100 ms.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/500,
-   "extra": {...}}
+Prints ONE JSON line.
 """
 
 import json
@@ -23,10 +23,10 @@ import time
 
 import numpy as np
 
-
 TICK_SECONDS = 0.64
 BASELINE_STREAMS = 500.0
 SLOTS = 512
+MEASURE_TICKS = 8
 
 
 def main():
@@ -34,54 +34,54 @@ def main():
     import jax.numpy as jnp
     from asr_streaming_tpu.models.asr import ASRConfig
     from asr_streaming_tpu.models.serving import (
-        ServingConfig, init_serving_params, init_serving_state, serving_step,
+        ServingConfig, init_serving_params,
     )
+    from asr_streaming_tpu.streaming.scheduler import Scheduler
+    from asr_streaming_tpu.text.vocab import placeholder_vocab
 
-    cfg = ServingConfig(asr=ASRConfig.vietnamese(compute_dtype=jnp.bfloat16))
+    cfg = ServingConfig(asr=ASRConfig.vietnamese(compute_dtype=jnp.bfloat16),
+                        use_silero=True)
     params = init_serving_params(jax.random.PRNGKey(0), cfg)
-    state = init_serving_state(cfg, SLOTS)
+    sched = Scheduler(params, cfg, placeholder_vocab(
+        cfg.asr.encoder.vocab_size), max_slots=SLOTS)
 
-    rng = np.random.default_rng(0)
-    wave = jnp.asarray(
-        rng.standard_normal((SLOTS, cfg.asr.audio.chunk_length)) * 0.1,
-        dtype=jnp.float32)
-    contain = jnp.zeros((SLOTS,), bool)
-    active = jnp.ones((SLOTS,), bool)
-    reset = jnp.zeros((SLOTS,), bool)
-
-    step = jax.jit(lambda w, c, a, r, s: serving_step(params, cfg, w, c, a,
-                                                      r, s),
-                   donate_argnums=(4,))
-
-    # compile + warmup
     t0 = time.time()
-    out = step(wave, contain, active, reset, state)
-    jax.block_until_ready(out)
-    compile_seconds = time.time() - t0
-    state = out.state
+    compile_s = sched.warmup()
 
+    # fill every slot with a real-time speechy stream
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(
+        int(16000 * (MEASURE_TICKS + 4) * TICK_SECONDS)) * 0.25
+    ).astype(np.float32)
+    streams = []
+    for i in range(SLOTS):
+        s = sched.admit(f"bench{i}")
+        s.accept_waveform(audio)
+        streams.append(s)
+
+    sched.tick()  # warm host paths
     times = []
-    for _ in range(6):
-        t0 = time.perf_counter()
-        out = step(wave, contain, active, reset, state)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-        state = out.state
-    step_seconds = float(np.median(times))
+    for _ in range(MEASURE_TICKS):
+        t1 = time.perf_counter()
+        sched.tick()
+        times.append(time.perf_counter() - t1)
+    tick_seconds = float(np.median(times))
 
-    streams = int(SLOTS * TICK_SECONDS / step_seconds)
+    streams_rtf1 = int(SLOTS * TICK_SECONDS / tick_seconds)
     result = {
         "metric": "concurrent_rtf1_streams_per_chip",
-        "value": streams,
+        "value": streams_rtf1,
         "unit": "streams",
-        "vs_baseline": round(streams / BASELINE_STREAMS, 3),
+        "vs_baseline": round(streams_rtf1 / BASELINE_STREAMS, 3),
         "extra": {
             "slots": SLOTS,
-            "step_ms": round(step_seconds * 1e3, 2),
-            "p50_chunk_latency_ms": round(step_seconds * 1e3, 2),
-            "compile_s": round(compile_seconds, 1),
+            "tick_ms_e2e": round(tick_seconds * 1e3, 2),
+            "p50_chunk_latency_ms": round(tick_seconds * 1e3, 2),
+            "compile_s": round(compile_s, 1),
             "tick_budget_ms": TICK_SECONDS * 1e3,
             "dtype": "bfloat16",
+            "includes": "device step + host transfer + stream state "
+                        "machines (full scheduler tick)",
         },
     }
     print(json.dumps(result))

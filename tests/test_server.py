@@ -36,9 +36,18 @@ def pcm_bytes(seconds, seed=0, level=0.3):
     return (np.clip(f, -1, 1) * 32767).astype(np.int16).tobytes()
 
 
+async def _connect_with_retry(url, attempts=120, delay=0.5):
+    for _ in range(attempts):
+        try:
+            return await websockets.connect(url)
+        except OSError:
+            await asyncio.sleep(delay)
+    raise ConnectionRefusedError(url)
+
+
 async def _run_client(port):
     messages = []
-    async with websockets.connect(
+    async with await _connect_with_retry(
             f"ws://127.0.0.1:{port}/voice/api/asr/v1/ws/decode_online"
             f"?content-type=audio/x-raw,+layout=(string)interleaved,"
             f"+rate=(int)16000") as ws:
@@ -104,9 +113,16 @@ def test_http_fallback(tmp_path):
             import urllib.request
 
             def fetch():
-                with urllib.request.urlopen(
-                        f"http://127.0.0.1:{PORT + 1}/", timeout=10) as r:
-                    return r.read()
+                for _ in range(120):
+                    try:
+                        with urllib.request.urlopen(
+                                f"http://127.0.0.1:{PORT + 1}/",
+                                timeout=10) as r:
+                            return r.read()
+                    except OSError:
+                        import time
+                        time.sleep(0.5)
+                raise ConnectionRefusedError
 
             return await asyncio.to_thread(fetch)
         finally:
