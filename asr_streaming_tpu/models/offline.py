@@ -180,11 +180,12 @@ def linguistic_encoder(params: dict, cfg: LinguisticConfig,
     p_durs = _conv1d(params["dur3"], d)[:, 0]               # [B, Tp] (log)
     p_durs = jnp.where(conv_mask, 0.0, p_durs)
 
-    # word-level pooling
-    w_embs = word_level_pooling(p_enc, word_idxs, reduction="mean")
+    # word-level pooling (Tw bounded statically by Tp: >=1 token per word)
+    w_embs = word_level_pooling(p_enc, word_idxs, reduction="mean",
+                                num_words=Tp)
     w_lens = jnp.max(word_idxs, axis=1) + 1
     w_durs_pred = word_level_pooling(
-        jnp.exp(p_durs)[:, :, None], word_idxs)[:, :, 0]
+        jnp.exp(p_durs)[:, :, None], word_idxs, num_words=Tp)[:, :, 0]
 
     Tw = w_embs.shape[1]
     w_attn_mask, w_conv_mask = _full_masks(w_lens, Tw)
@@ -199,6 +200,10 @@ def linguistic_encoder(params: dict, cfg: LinguisticConfig,
         word_durs = jnp.clip(jnp.ceil(w_durs_pred), 10, None).astype(
             jnp.int32)
         word_durs = jnp.where(w_conv_mask, 0, word_durs)
+    elif word_durs.shape[1] < Tw:
+        # teacher-forced durations padded to the static word bound
+        word_durs = jnp.pad(word_durs,
+                            ((0, 0), (0, Tw - word_durs.shape[1])))
 
     valid_w = make_padding_mask(w_lens, Tw)
     w_out, w_out_lens = length_regulator(w_enc, valid_w.astype(w_enc.dtype),

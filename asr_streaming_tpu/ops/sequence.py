@@ -56,11 +56,16 @@ def length_regulator(x: jax.Array, x_mask: jax.Array, durs: jax.Array,
 
 
 def word_level_pooling(x: jax.Array, word_ids: jax.Array,
-                       reduction: str = "sum") -> jax.Array:
+                       reduction: str = "sum",
+                       num_words: Optional[int] = None) -> jax.Array:
     """Pool token features into word slots by segment-sum
-    (reference common.py:84-105).  word_ids: [B, Tp] int (-1 = pad)."""
+    (reference common.py:84-105).  word_ids: [B, Tp] int (-1 = pad).
+    Pass num_words (static) under jit; defaults to the dynamic max."""
     B, Tp, D = x.shape
-    Tw = int(jnp.max(word_ids)) + 1 if word_ids.size else 0
+    if num_words is not None:
+        Tw = num_words
+    else:
+        Tw = int(jnp.max(word_ids)) + 1 if word_ids.size else 0
     ids = jnp.where(word_ids < 0, Tw, word_ids)
     onehot = jax.nn.one_hot(ids, Tw + 1, dtype=x.dtype)    # [B, Tp, Tw+1]
     pooled = jnp.einsum("btw,btd->bwd", onehot, x)[:, :-1]

@@ -94,8 +94,19 @@ class StreamingServer:
     async def process_request(self, connection: ServerConnection,
                               request: Request) -> Optional[Response]:
         if "Sec-WebSocket-Key" not in request.headers:
+            path = request.path.split("?")[0]
+            if path == "/metrics.json":
+                snap = self.scheduler.timers.snapshot()
+                snap["active_streams"] = self.scheduler.num_active
+                snap["max_slots"] = self.scheduler.max_slots
+                snap["ticks"] = self.scheduler.ticks
+                import json as _json
+                return Response(200, "OK",
+                                Headers([("Content-Type",
+                                          "application/json")]),
+                                _json.dumps(snap).encode())
             # plain HTTP: static files (reference streaming_server.py:223-236)
-            found, body, mime = self.static.lookup(request.path.split("?")[0])
+            found, body, mime = self.static.lookup(path)
             status = http.HTTPStatus.OK if found else http.HTTPStatus.NOT_FOUND
             return Response(status.value, status.phrase,
                             Headers([("Content-Type", mime)]), body)

@@ -84,6 +84,8 @@ class Scheduler:
             donate_argnums=donate)
 
         # per-tick timing telemetry
+        from asr_streaming_tpu.utils.observability import StageTimers
+        self.timers = StageTimers()
         self.last_tick_seconds = 0.0
         self.ticks = 0
 
@@ -161,6 +163,7 @@ class Scheduler:
             contain[slot] = s.is_contain_token
             self._wave[slot] = s.chunk()
 
+        t_dev = time.perf_counter()
         out = self._run_step(
             jnp.asarray(self._wave), jnp.asarray(contain),
             jnp.asarray(active), jnp.asarray(self._needs_reset))
@@ -168,6 +171,8 @@ class Scheduler:
 
         # ONE device->host transfer per tick: the packed [B, 5+n] array.
         pack = np.asarray(out.pack)
+        self.timers.observe("device_step", time.perf_counter() - t_dev)
+        t_host = time.perf_counter()
         decoded = pack[:, PACK_DECODED] > 0.5
         lead = pack[:, PACK_LEAD]
         trail = pack[:, PACK_TRAIL]
@@ -216,6 +221,11 @@ class Scheduler:
 
         self.ticks += 1
         self.last_tick_seconds = time.perf_counter() - t0
+        self.timers.observe("host_scatter", time.perf_counter() - t_host)
+        self.timers.observe("tick", self.last_tick_seconds)
+        self.timers.increment("chunks_processed", len(ready))
+        self.timers.increment("finals",
+                              sum(1 for e in events if e.is_final))
         return events
 
     def drain(self, max_ticks: int = 10_000) -> List[StreamEvent]:
