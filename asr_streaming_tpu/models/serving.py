@@ -75,6 +75,8 @@ class ServingTickOutput(NamedTuple):
     pack: jax.Array              # [B, 5+n] f32 (flags, lead, trail, data)
     state: "ServingState"
     emission: Optional[jax.Array]  # [B, MAX_T, V] device-resident (CTC)
+    ctx: jax.Array               # [B, buffer_length] device-resident audio
+                                 # context (the ring buffer's carried tail)
 
 
 ServingState = Union[EmformerState, RNNTStreamState]
@@ -163,22 +165,51 @@ def _pack(decode, gate, silero, lead, trail, data_f32):
     return jnp.concatenate(cols, axis=1)
 
 
-def serving_step(params: dict, cfg: ServingConfig, wave: jax.Array,
+def init_audio_context(cfg: ServingConfig, max_slots: int) -> jax.Array:
+    """Device-resident carried audio context [B, buffer_length] — the
+    leading (context+bias) samples of each slot's next chunk window.
+    Kept on device so only NEW audio crosses the host link each tick
+    (uploading full overlapping windows costs ~30% extra bytes, and the
+    host link is the serving bottleneck on thin transports)."""
+    return jnp.zeros((max_slots, cfg.asr.audio.buffer_length), jnp.float32)
+
+
+def _assemble_wave(cfg: ServingConfig, segment_i16: jax.Array,
+                   ctx: jax.Array, active: jax.Array,
+                   new_stream: jax.Array):
+    """int16 new segment + carried context -> float chunk window;
+    also returns the updated context (advances only for active slots)."""
+    seg = segment_i16.astype(jnp.float32) / 32768.0
+    ctx = jnp.where(new_stream[:, None], 0.0, ctx)
+    wave = jnp.concatenate([ctx, seg], axis=1)
+    buffer_len = ctx.shape[1]
+    new_ctx = jnp.where(active[:, None], seg[:, -buffer_len:], ctx)
+    return wave, new_ctx
+
+
+def serving_step(params: dict, cfg: ServingConfig, segment_i16: jax.Array,
                  contain_token: jax.Array, active: jax.Array,
-                 reset: jax.Array, state: EmformerState,
+                 new_stream: jax.Array, reset: jax.Array,
+                 state: EmformerState, ctx: jax.Array,
                  emission_buf: jax.Array) -> ServingTickOutput:
     """One batched decode tick (CTC / Vietnamese path).
 
     Args:
-      wave: [B, chunk_length] — each active slot's ring-buffer window.
+      segment_i16: [B, segment_length] int16 — each active slot's NEW
+        audio; the carried (context+bias) window prefix lives on device
+        in ``ctx`` (the reference's ring buffer head, stream.py:23).
       contain_token: [B] bool — stream already has tokens in the current
         utterance (VADs bypassed, reference streaming_server.py:374-390).
       active: [B] bool — slot holds a stream with a ready chunk.
+      new_stream: [B] bool — zero the audio context (fresh connection).
       reset: [B] bool — zero this slot's encoder state before stepping
-        (new stream or just-finalized segment).
+        (new stream or just-finalized segment; audio context carries
+        across segment finals like the reference's ring buffer).
       emission_buf: [B, MAX_T, V] device-resident emission accumulator;
         decoded frames are written at the slot's current length.
     """
+    wave, new_ctx = _assemble_wave(cfg, segment_i16, ctx, active,
+                                   new_stream)
     zero = init_asr_state(cfg.asr, wave.shape[0])
     state = _select_state(reset, zero, state)
 
@@ -210,7 +241,7 @@ def serving_step(params: dict, cfg: ServingConfig, wave: jax.Array,
     pack = _pack(decode, gate, silero_speech, lead, trail,
                  out.argmax.astype(jnp.float32))
     return ServingTickOutput(pack=pack, state=new_state,
-                             emission=emission_buf)
+                             emission=emission_buf, ctx=new_ctx)
 
 
 def _vad_stage(params: dict, cfg: ServingConfig, wave: jax.Array,
@@ -236,15 +267,19 @@ def _vad_stage(params: dict, cfg: ServingConfig, wave: jax.Array,
     return gate, silero_speech, lead, trail
 
 
-def serving_step_rnnt(params: dict, cfg: ServingConfig, wave: jax.Array,
-                      contain_token: jax.Array, active: jax.Array,
+def serving_step_rnnt(params: dict, cfg: ServingConfig,
+                      segment_i16: jax.Array, contain_token: jax.Array,
+                      active: jax.Array, new_stream: jax.Array,
                       reset: jax.Array, state: RNNTStreamState,
+                      ctx: jax.Array,
                       emission_buf: Optional[jax.Array] = None
                       ) -> ServingTickOutput:
     """English-path tick: VAD + batched device-side greedy RNNT decode
     (reference streaming_server.py:441-465 runs torchaudio beam search on
     host per stream; here greedy decode is batched on device, with the
     host beam available for final rescoring)."""
+    wave, new_ctx = _assemble_wave(cfg, segment_i16, ctx, active,
+                                   new_stream)
     rnnt = cfg.rnnt
     zero = init_rnnt_state(rnnt, wave.shape[0])
     state = jax.tree.map(
@@ -269,7 +304,8 @@ def serving_step_rnnt(params: dict, cfg: ServingConfig, wave: jax.Array,
     out = rnnt_greedy_stream_step(params, rnnt, feats, state, active=decode)
     pack = _pack(decode, gate, silero_speech, lead, trail,
                  out.tokens.astype(jnp.float32))
-    return ServingTickOutput(pack=pack, state=out.state, emission=None)
+    return ServingTickOutput(pack=pack, state=out.state, emission=None,
+                             ctx=new_ctx)
 
 
 def make_serving_step(cfg: ServingConfig):

@@ -84,6 +84,7 @@ class StreamingServer:
         self.tick_idle_sleep = tick_idle_sleep
 
         self._outboxes: dict[str, asyncio.Queue] = {}
+        self._tick_boundary: Optional[asyncio.Condition] = None
         self._rescore_pool = ThreadPoolExecutor(max_workers=4,
                                                 thread_name_prefix="rescore")
         self._tick_task: Optional[asyncio.Task] = None
@@ -127,6 +128,7 @@ class StreamingServer:
         (log-and-continue, the reference's per-stage resilience posture —
         streaming_server.py:393-465)."""
         loop = asyncio.get_running_loop()
+        self._tick_boundary = asyncio.Condition()
         while True:
             try:
                 if self.scheduler.has_work():
@@ -136,7 +138,11 @@ class StreamingServer:
                         q = self._outboxes.get(ev.stream_id)
                         if q is not None:
                             q.put_nowait(ev)
+                    async with self._tick_boundary:
+                        self._tick_boundary.notify_all()
                 else:
+                    async with self._tick_boundary:
+                        self._tick_boundary.notify_all()
                     await asyncio.sleep(self.tick_idle_sleep)
             except asyncio.CancelledError:
                 raise
@@ -205,11 +211,32 @@ class StreamingServer:
         """v1 EOS semantics: decode the padded tail, emit a final for any
         残 emission, confirm with __REQUEST_COMPLETED__ (reference v1
         streaming_server.py:500-538)."""
-        # let the tick loop consume the tail chunk(s)
-        while stream.has_chunk():
-            await asyncio.sleep(0.002)
-        while not outbox.empty():
-            await asyncio.sleep(0.002)
+        # drain pending chunks, then pad-and-flush any残 tail audio that is
+        # shorter than a chunk (v1 tail-flush semantics, reference v1
+        # streaming_server.py:500-538; padding at EOS-arrival time is not
+        # enough because the buffer may still hold whole chunks then)
+        for _ in range(4):
+            while stream.has_chunk() or \
+                    getattr(stream, "_slot", None) in \
+                    self.scheduler.pending_slots:
+                await asyncio.sleep(0.002)
+            if stream.buffer.size <= stream.audio.buffer_length:
+                break   # only carried context left — nothing undecoded
+            stream.add_tail_padding()
+        # wait for two tick-loop iteration boundaries so the tick that
+        # consumed the last chunk has fully enqueued its events (the
+        # buffer empties mid-tick, before events are enqueued)
+        if self._tick_boundary is not None:
+            for _ in range(2):
+                async with self._tick_boundary:
+                    await self._tick_boundary.wait()
+        # barrier through the outbox: guarantees every already-queued
+        # event (including in-flight finals) is fully sent first
+        barrier = asyncio.Event()
+        ev = StreamEvent(stream_id=stream.id, kind="__barrier__")
+        ev._barrier = barrier
+        outbox.put_nowait(ev)
+        await barrier.wait()
         if stream.emission_length > 0:
             # force-final the remaining utterance
             utt = stream.total_seconds_decoded
@@ -228,7 +255,9 @@ class StreamingServer:
         while True:
             ev: StreamEvent = await outbox.get()
             try:
-                if ev.is_final:
+                if ev.kind == "__barrier__":
+                    ev._barrier.set()
+                elif ev.is_final:
                     await self._send_final(connection, ev)
                 elif self.send_internal and ev.text.strip():
                     result = DecodedResult()

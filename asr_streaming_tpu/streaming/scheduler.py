@@ -28,8 +28,8 @@ import jax.numpy as jnp
 
 from asr_streaming_tpu.models.serving import (
     PACK_DATA, PACK_DECODED, PACK_LEAD, PACK_TRAIL, ServingConfig,
-    init_emission_buffer, init_serving_state, make_emission_fetcher,
-    make_serving_step,
+    init_audio_context, init_emission_buffer, init_serving_state,
+    make_emission_fetcher, make_serving_step,
 )
 from asr_streaming_tpu.models.rnnt import detokenize_pieces
 from asr_streaming_tpu.streaming.stream import Stream, FinalSegment
@@ -73,11 +73,22 @@ class Scheduler:
         self.streams: Dict[int, Stream] = {}     # slot -> stream
         self._free = list(range(max_slots))[::-1]
         self._needs_reset = np.zeros(max_slots, bool)
-        self._wave = np.zeros((max_slots, cfg.asr.audio.chunk_length),
-                              np.float32)
+        self._new_stream = np.zeros(max_slots, bool)
+        # only NEW audio crosses the host link (int16); the carried
+        # context prefix lives on device (init_audio_context)
+        # double-buffered int16 staging (the async H2D copy may still be
+        # reading buffer A while buffer B is filled for the next tick)
+        self._segment = np.zeros(
+            (2, max_slots, cfg.asr.audio.segment_length), np.int16)
+        self._staging_idx = 0
+        self._seg_f32 = np.zeros((max_slots, cfg.asr.audio.segment_length),
+                                 np.float32)
+        self._pending = None          # (out, ready, t_dispatch)
+        self.pending_slots: set = set()
+        self.audio_ctx = init_audio_context(cfg, max_slots)
 
-        # donate the carried device state (+ emission buffer on CTC)
-        donate = ((4, 5) if not self.is_rnnt else (4,)) \
+        # donate the carried device state + context (+ emission on CTC)
+        donate = ((5, 6, 7) if not self.is_rnnt else (5, 6)) \
             if donate_state else ()
         self._step = jax.jit(
             partial(make_serving_step(cfg), self.params, self.cfg),
@@ -96,21 +107,23 @@ class Scheduler:
         streaming_server.py:108-215).  Returns compile seconds."""
         t0 = time.perf_counter()
         B = self.max_slots
-        wave = jnp.zeros((B, self.cfg.asr.audio.chunk_length), jnp.float32)
+        seg = jnp.zeros((B, self.cfg.asr.audio.segment_length), jnp.int16)
         flags = jnp.zeros((B,), bool)
-        out = self._run_step(wave, flags, flags, flags)
+        out = self._run_step(seg, flags, flags, flags, flags)
         jax.block_until_ready(out)
         return time.perf_counter() - t0
 
-    def _run_step(self, wave, contain, active, reset):
+    def _run_step(self, segment, contain, active, new_stream, reset):
         if self.is_rnnt:
-            out = self._step(wave, contain, active, reset,
-                             self.device_state)
+            out = self._step(segment, contain, active, new_stream, reset,
+                             self.device_state, self.audio_ctx)
         else:
-            out = self._step(wave, contain, active, reset,
-                             self.device_state, self.emission_buf)
+            out = self._step(segment, contain, active, new_stream, reset,
+                             self.device_state, self.audio_ctx,
+                             self.emission_buf)
             self.emission_buf = out.emission
         self.device_state = out.state
+        self.audio_ctx = out.ctx
         return out
 
     # ------------------------------------------------------------- lifecycle
@@ -132,6 +145,7 @@ class Scheduler:
         stream._slot = slot
         self.streams[slot] = stream
         self._needs_reset[slot] = True
+        self._new_stream[slot] = True   # zero the device audio context
         return stream
 
     def release(self, stream: Stream) -> None:
@@ -144,34 +158,74 @@ class Scheduler:
     # ------------------------------------------------------------------ tick
 
     def has_work(self) -> bool:
-        return any(s.has_chunk() for s in self.streams.values())
+        return self._pending is not None or \
+            any(s.has_chunk() for s in self.streams.values())
 
     def tick(self) -> List[StreamEvent]:
-        """Process one chunk for every stream that has one ready."""
+        """One pipelined scheduler cycle.
+
+        Three phases, so the (bandwidth-bound) audio upload of batch N
+        overlaps the device compute of batch N-1:
+          1. gather batch N's new segments, pop the ring-buffer windows,
+             and start the async host->device copy;
+          2. harvest batch N-1's packed results and scatter them to the
+             stream state machines (this also settles contain_token /
+             reset flags exactly as the reference's sequential per-chunk
+             loop would);
+          3. dispatch batch N with the settled flags.
+        Events for a chunk are therefore returned one tick() call later.
+        """
         t0 = time.perf_counter()
+
+        # ---- phase 1: gather + async upload
         ready = [(slot, s) for slot, s in self.streams.items()
                  if s.has_chunk()]
-        if not ready:
-            return []
+        seg_dev = None
+        if ready:
+            staging = self._segment[self._staging_idx]
+            self._staging_idx ^= 1
+            for slot, s in ready:
+                seg = s.pop_chunk()
+                np.multiply(seg, 32767.0, out=self._seg_f32[slot])
+            np.clip(self._seg_f32, -32768, 32767, out=self._seg_f32)
+            staging[:] = self._seg_f32.astype(np.int16)
+            seg_dev = jnp.asarray(staging)      # async H2D copy starts
 
-        B = self.max_slots
-        active = np.zeros(B, bool)
-        contain = np.zeros(B, bool)
-        self._wave[:] = 0.0
-        for slot, s in ready:
-            active[slot] = True
-            contain[slot] = s.is_contain_token
-            self._wave[slot] = s.chunk()
+        # ---- phase 2: harvest the previous batch
+        events: List[StreamEvent] = []
+        if self._pending is not None:
+            out_prev, ready_prev, t_dispatch = self._pending
+            self._pending = None
+            pack = np.asarray(out_prev.pack)    # blocks until done
+            self.pending_slots = set()
+            self.timers.observe("device_step",
+                                time.perf_counter() - t_dispatch)
+            events = self._scatter(pack, ready_prev)
 
-        t_dev = time.perf_counter()
-        out = self._run_step(
-            jnp.asarray(self._wave), jnp.asarray(contain),
-            jnp.asarray(active), jnp.asarray(self._needs_reset))
-        self._needs_reset[:] = False
+        # ---- phase 3: dispatch the new batch
+        if ready:
+            B = self.max_slots
+            active = np.zeros(B, bool)
+            contain = np.zeros(B, bool)
+            for slot, s in ready:
+                active[slot] = True
+                contain[slot] = s.is_contain_token
+            t_dispatch = time.perf_counter()
+            out = self._run_step(
+                seg_dev, jnp.asarray(contain), jnp.asarray(active),
+                jnp.asarray(self._new_stream),
+                jnp.asarray(self._needs_reset))
+            self._needs_reset[:] = False
+            self._new_stream[:] = False
+            self._pending = (out, ready, t_dispatch)
+            self.pending_slots = {slot for slot, _ in ready}
 
-        # ONE device->host transfer per tick: the packed [B, 5+n] array.
-        pack = np.asarray(out.pack)
-        self.timers.observe("device_step", time.perf_counter() - t_dev)
+        self.ticks += 1
+        self.last_tick_seconds = time.perf_counter() - t0
+        self.timers.observe("tick", self.last_tick_seconds)
+        return events
+
+    def _scatter(self, pack: np.ndarray, ready) -> List[StreamEvent]:
         t_host = time.perf_counter()
         decoded = pack[:, PACK_DECODED] > 0.5
         lead = pack[:, PACK_LEAD]
@@ -196,7 +250,7 @@ class Scheduler:
             else:
                 s.skip_silence()
 
-            is_final, utt_len = s.check_endpoint()
+            is_final, utt_len = s.check_endpoint(advance=False)
             if is_final:
                 self._needs_reset[slot] = True  # state_init on next tick
                 emission_len = s.emission_length
@@ -219,10 +273,7 @@ class Scheduler:
                     stream_id=s.id, kind="partial",
                     text=s.transcript_internal, stream=s))
 
-        self.ticks += 1
-        self.last_tick_seconds = time.perf_counter() - t0
         self.timers.observe("host_scatter", time.perf_counter() - t_host)
-        self.timers.observe("tick", self.last_tick_seconds)
         self.timers.increment("chunks_processed", len(ready))
         self.timers.increment("finals",
                               sum(1 for e in events if e.is_final))

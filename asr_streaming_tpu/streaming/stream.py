@@ -110,6 +110,14 @@ class Stream:
         inspects, reference stream.py:167)."""
         return self.buffer[self.audio.buffer_length:self.audio.chunk_length]
 
+    def pop_chunk(self) -> np.ndarray:
+        """Take the current chunk's new-segment audio and slide the window
+        (used by the pipelined scheduler, which gathers audio before the
+        previous batch's results have been scattered)."""
+        seg = self.new_segment_audio().copy()
+        self._advance_window()
+        return seg
+
     def _advance_window(self) -> None:
         self.buffer = self.buffer[self.audio.segment_length:]
 
@@ -172,9 +180,11 @@ class Stream:
             self.trailing_blank_duration += self.audio.segment_seconds
         return text_delta
 
-    def check_endpoint(self) -> Tuple[bool, float]:
+    def check_endpoint(self, advance: bool = True) -> Tuple[bool, float]:
         """Endpoint rules + window advance (reference stream.py:127-163).
 
+        Pass advance=False when the window was already slid by
+        ``pop_chunk`` (pipelined scheduler).
         Returns (is_final, utterance_seconds)."""
         utterance_seconds = (self.chunk_processed
                              * self.audio.segment_length
@@ -192,7 +202,8 @@ class Stream:
             self.trailing_blank_duration = 0.0
             self.segment += 1
             self.transcript_internal = ""
-        self._advance_window()
+        if advance:
+            self._advance_window()
         return detected, utterance_seconds
 
     # -------------------------------------------------------------- segments
