@@ -82,12 +82,28 @@ def build_server(settings, max_slots=None):
                 logging.exception("normalizer call failed")
                 return text
 
+    speaker_verifier = None
+    if settings.speaker_wav:
+        from asr_streaming_tpu.models.ecapa import (
+            EcapaConfig, SpeakerVerifier, init_ecapa_params,
+        )
+        from asr_streaming_tpu.train.data import read_wav
+        ecfg = EcapaConfig()
+        eparams = init_ecapa_params(jax.random.PRNGKey(1), ecfg)
+        # ECAPA weights ship with the speaker-verification checkpoint; a
+        # random-init verifier still exercises the pipeline end to end
+        wave, _sr = read_wav(settings.speaker_wav)
+        speaker_verifier = SpeakerVerifier(
+            eparams, ecfg, wave, threshold=settings.speaker_threshold)
+
     return StreamingServer(
         scheduler, rescorer=rescorer, normalizer=normalizer,
+        speaker_verifier=speaker_verifier,
         doc_root=settings.doc_root, certificate=settings.certificate,
         send_internal=settings.send_internal,
         filter_noise=settings.filter_noise,
-        noise_threshold_db=settings.noise_threshold_db)
+        noise_threshold_db=settings.noise_threshold_db,
+        save_audio_dir="audio_cache" if settings.save_audio else None)
 
 
 def main():

@@ -69,6 +69,7 @@ class StreamingServer:
         max_message_size: int = 1 << 20,
         max_queue_size: int = 32,
         tick_idle_sleep: float = 0.005,
+        save_audio_dir: Optional[str] = None,
     ):
         self.scheduler = scheduler
         self.rescorer = rescorer
@@ -85,6 +86,11 @@ class StreamingServer:
 
         self._outboxes: dict[str, asyncio.Queue] = {}
         self._tick_boundary: Optional[asyncio.Condition] = None
+        self.archiver = None
+        if save_audio_dir:   # reference's save_audio / audio_cache feature
+            from asr_streaming_tpu.utils.observability import AudioArchiver
+            self.archiver = AudioArchiver(
+                save_audio_dir, scheduler.cfg.asr.audio.sample_rate)
         self._rescore_pool = ThreadPoolExecutor(max_workers=4,
                                                 thread_name_prefix="rescore")
         self._tick_task: Optional[asyncio.Task] = None
@@ -181,6 +187,8 @@ class StreamingServer:
                     if resampler is not None:
                         samples = resampler.process(samples)
                     stream.accept_waveform(samples)
+                    if self.archiver is not None:
+                        self.archiver.append(stream_id, samples)
                 else:
                     cmd = parse_text_message(str(message))
                     if cmd.kind == "set_format":
@@ -202,6 +210,8 @@ class StreamingServer:
         finally:
             sender.cancel()
             self._outboxes.pop(stream_id, None)
+            if self.archiver is not None:
+                self.archiver.close(stream_id)
             self.scheduler.release(stream)
             logger.info("disconnected %s (%d/%d active)", stream_id,
                         self.scheduler.num_active, self.scheduler.max_slots)
