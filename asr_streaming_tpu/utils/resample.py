@@ -38,21 +38,40 @@ def resample(wave: np.ndarray, in_rate: int, out_rate: int) -> np.ndarray:
 
 
 class StreamingResampler:
-    """Per-connection resampler keeping edge context across packets."""
+    """Per-connection resampler keeping edge context across packets.
 
-    def __init__(self, in_rate: int, out_rate: int, context: int = 64):
+    Global input/output sample accounting (not per-call rounding) keeps
+    the streamed output aligned with an offline resample of the whole
+    signal — per-call rounding drifts by a sample every few packets and
+    accumulates."""
+
+    def __init__(self, in_rate: int, out_rate: int, context: int = 128):
         self.in_rate = in_rate
         self.out_rate = out_rate
         self.context = context
+        # the carried tail must start on a polyphase-period boundary so the
+        # filter phase matches an offline resample of the whole signal
+        self._period = in_rate // math.gcd(in_rate, out_rate)
         self._tail = np.zeros(0, np.float32)
+        self._in_total = 0    # input samples consumed (excluding tail)
+        self._out_total = 0   # output samples emitted
 
     def process(self, samples: np.ndarray) -> np.ndarray:
         if self.in_rate == self.out_rate:
             return np.asarray(samples, np.float32)
-        joined = np.concatenate([self._tail, np.asarray(samples, np.float32)])
-        out = resample(joined, self.in_rate, self.out_rate)
-        # drop the part corresponding to the carried tail
-        drop = int(round(len(self._tail) * self.out_rate / self.in_rate))
-        self._tail = joined[-self.context:] if len(joined) >= self.context \
-            else joined
-        return out[drop:]
+        new = np.asarray(samples, np.float32)
+        joined = np.concatenate([self._tail, new])
+        base_in = self._in_total - len(self._tail)
+        self._in_total += len(new)
+
+        out_full = resample(joined, self.in_rate, self.out_rate)
+        base_out = (base_in * self.out_rate) // self.in_rate
+        start = self._out_total - base_out
+        end = (self._in_total * self.out_rate) // self.in_rate - base_out
+        emit = out_full[max(0, start):max(0, end)]
+        self._out_total += len(emit)
+
+        # tail length L with (in_total - L) % period == 0 and L >= context
+        L = self.context + (self._in_total - self.context) % self._period
+        self._tail = joined[-L:] if len(joined) >= L else joined
+        return emit
