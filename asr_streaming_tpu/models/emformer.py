@@ -63,6 +63,10 @@ class EmformerConfig:
     negative_inf: float = -1e8
     weight_init_scale_strategy: Optional[str] = "depthwise"
     compute_dtype: Any = jnp.float32
+    # Route the attention core through the fused Pallas kernel
+    # (ops/pallas_attention.py).  Default off: the XLA einsum path is the
+    # oracle; the kernel runs interpreted off-TPU.
+    use_pallas_attention: bool = False
 
     @property
     def use_mem(self) -> bool:
@@ -228,7 +232,22 @@ def _layer_step(cfg: EmformerConfig, p: dict, utt: jax.Array, rc: jax.Array,
         mem_idx = jnp.arange(M)
         valid_mem = mem_idx[None, :] >= (M - m_m)[:, None]
     else:
+        m_m = jnp.zeros_like(length)
         valid_mem = jnp.ones((B, 0), dtype=bool)
+
+    if cfg.use_pallas_attention:
+        from asr_streaming_tpu.ops.pallas_attention import (
+            fused_emformer_attention,
+        )
+        attn = fused_emformer_attention(
+            q.astype(jnp.float32), full_k.astype(jnp.float32),
+            full_v.astype(jnp.float32), m_m, m_kv,
+            num_heads=H, M=M, R=R, Lc=Lc, U=U, use_mem=cfg.use_mem,
+            neg_inf=cfg.negative_inf,
+            interpret=jax.default_backend() != "tpu").astype(cdt)
+        out = attn @ p["w_out"].astype(cdt) + p["b_out"].astype(cdt)
+        return _finish_layer_step(cfg, p, out, utt, rc, mem_row, mem_state,
+                                  lc_k, lc_v, next_k, next_v)
     valid_keys = jnp.concatenate(
         [valid_mem, jnp.ones((B, R), bool), valid_lc, jnp.ones((B, U), bool)],
         axis=1)                                          # [B, K]
@@ -252,6 +271,17 @@ def _layer_step(cfg: EmformerConfig, p: dict, utt: jax.Array, rc: jax.Array,
                       preferred_element_type=jnp.float32)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, Q, D).astype(cdt)
     out = attn @ p["w_out"].astype(cdt) + p["b_out"].astype(cdt)
+    return _finish_layer_step(cfg, p, out, utt, rc, mem_row, mem_state,
+                              lc_k, lc_v, next_k, next_v)
+
+
+def _finish_layer_step(cfg: EmformerConfig, p: dict, out: jax.Array,
+                       utt: jax.Array, rc: jax.Array, mem_row, mem_state,
+                       lc_k, lc_v, next_k, next_v):
+    """Post-attention: mem output transform, residual FFN, state update."""
+    R, U = rc.shape[1], utt.shape[1]
+    Lc = cfg.left_context_length
+    cdt = cfg.compute_dtype
 
     rc_utt_out = out[:, :R + U].astype(jnp.float32)
     if cfg.use_mem:
