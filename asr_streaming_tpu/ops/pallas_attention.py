@@ -61,7 +61,7 @@ def _attention_kernel(mm_ref, mkv_ref, q_ref, k_ref, v_ref, o_ref, *,
         summary_block = jnp.zeros((q_pad, k_pad), bool)
     mask = valid & ~summary_block             # [q_pad, k_pad]
 
-    out = jnp.zeros((q_pad, H * Dh), jnp.float32)
+    outs = []
     for h in range(H):
         qh = q[:, h * Dh:(h + 1) * Dh] * scaling
         kh = k[:, h * Dh:(h + 1) * Dh]
@@ -71,12 +71,11 @@ def _attention_kernel(mm_ref, mkv_ref, q_ref, k_ref, v_ref, o_ref, *,
             preferred_element_type=jnp.float32)            # [q_pad, k_pad]
         logits = jnp.where(mask, logits, neg_inf)
         probs = jax.nn.softmax(logits, axis=-1)
-        ctxh = jax.lax.dot_general(
+        outs.append(jax.lax.dot_general(
             probs, vh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [q_pad, Dh]
-        out = out.at[:, h * Dh:(h + 1) * Dh].set(ctxh)
+            preferred_element_type=jnp.float32))           # [q_pad, Dh]
 
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -19,6 +19,7 @@ consumes their results, so it stays trivially testable.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -59,6 +60,12 @@ class Stream:
         self.keep_emission = keep_emission
 
         # ring buffer starts with buffer_length zeros (reference stream.py:23)
+        # Guarded by _buffer_lock: the server appends from the event loop
+        # while the scheduler's tick thread pops — both are
+        # read-modify-write on self.buffer (the reference is purely
+        # single-threaded asyncio and has no such race; SURVEY.md §5 flags
+        # its fragile shared-state invariants, so ours are locked+tested).
+        self._buffer_lock = threading.Lock()
         self.buffer = np.zeros(audio.buffer_length, dtype=np.float32)
         self.audio_total: List[np.ndarray] = []
         self.offset_compute_stats = 0.0
@@ -87,17 +94,19 @@ class Stream:
         samples = np.asarray(samples, dtype=np.float32)
         if samples.size <= 100:  # reference stream.py:82 drops tiny packets
             return
-        self.buffer = np.concatenate([self.buffer, samples])
-        if self.keep_audio_total:
-            self.audio_total.append(samples)
+        with self._buffer_lock:
+            self.buffer = np.concatenate([self.buffer, samples])
+            if self.keep_audio_total:
+                self.audio_total.append(samples)
 
     def add_tail_padding(self) -> None:
         """Zero-pad so the final partial segment can be flushed
         (reference stream.py:96-107)."""
-        n = self.audio.chunk_length - self.buffer.size
-        if n > 0:
-            self.buffer = np.concatenate(
-                [self.buffer, np.zeros(n, dtype=np.float32)])
+        with self._buffer_lock:
+            n = self.audio.chunk_length - self.buffer.size
+            if n > 0:
+                self.buffer = np.concatenate(
+                    [self.buffer, np.zeros(n, dtype=np.float32)])
 
     def has_chunk(self) -> bool:
         return self.buffer.size >= self.audio.chunk_length
@@ -114,12 +123,14 @@ class Stream:
         """Take the current chunk's new-segment audio and slide the window
         (used by the pipelined scheduler, which gathers audio before the
         previous batch's results have been scattered)."""
-        seg = self.new_segment_audio().copy()
-        self._advance_window()
+        with self._buffer_lock:
+            seg = self.new_segment_audio().copy()
+            self.buffer = self.buffer[self.audio.segment_length:]
         return seg
 
     def _advance_window(self) -> None:
-        self.buffer = self.buffer[self.audio.segment_length:]
+        with self._buffer_lock:
+            self.buffer = self.buffer[self.audio.segment_length:]
 
     # ------------------------------------------------------------ chunk paths
 
@@ -235,18 +246,20 @@ class Stream:
         if not self.keep_audio_total:
             self.offset_compute_stats += segment_seconds
             return np.zeros(0, np.float32)
-        total = (np.concatenate(self.audio_total) if self.audio_total
-                 else np.zeros(0, np.float32))
-        n = int(segment_seconds * self.audio.sample_rate)
-        segment, rest = total[:n], total[n:]
-        self.audio_total = [rest] if rest.size else []
+        with self._buffer_lock:
+            total = (np.concatenate(self.audio_total) if self.audio_total
+                     else np.zeros(0, np.float32))
+            n = int(segment_seconds * self.audio.sample_rate)
+            segment, rest = total[:n], total[n:]
+            self.audio_total = [rest] if rest.size else []
         self.offset_compute_stats += segment_seconds
         return segment
 
     @property
     def total_audio(self) -> np.ndarray:
-        return (np.concatenate(self.audio_total) if self.audio_total
-                else np.zeros(0, np.float32))
+        with self._buffer_lock:
+            return (np.concatenate(self.audio_total) if self.audio_total
+                    else np.zeros(0, np.float32))
 
     @property
     def total_seconds_decoded(self) -> float:
