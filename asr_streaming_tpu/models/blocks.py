@@ -311,3 +311,88 @@ def conv_subsampling(p: dict, x: jax.Array, x_lens: jax.Array,
     h = h @ p["proj_w"] + p["proj_b"]
     new_lens = (x_lens - 1) // 4 + 1
     return h, new_lens
+
+
+# --------------------------------------------------------------- pixel ops
+
+def init_downsampling_pixel_params(key, d_model: int, factor: int) -> dict:
+    """Strided Conv1d downsampler (reference sampling.py:79-113)."""
+    if factor <= 1:
+        return {}
+    k = int(2 * factor + 1)
+    bound = 1.0 / math.sqrt(d_model * k)
+    w = jax.random.uniform(key, (d_model, d_model, k), minval=-bound,
+                           maxval=bound)
+    return {"w": w, "b": jnp.zeros(d_model)}
+
+
+def downsampling_pixel(p: dict, x: jax.Array, x_lens: jax.Array,
+                       attn_mask: jax.Array, conv_mask: jax.Array,
+                       factor: int):
+    """[B, T, D] -> [B, ceil(T/factor), D] with mask subsampling."""
+    if factor <= 1:
+        return x, x_lens, attn_mask, conv_mask
+    y = jax.lax.conv_general_dilated(
+        x.transpose(0, 2, 1), p["w"], (factor,),
+        [(factor, factor)], dimension_numbers=("NCW", "OIW", "NCW"))
+    y = (y + p["b"][:, None]).transpose(0, 2, 1)
+    new_lens = (x_lens - 1) // factor + 1
+    return (y, new_lens, attn_mask[:, ::factor, ::factor],
+            conv_mask[:, ::factor])
+
+
+def upsampling_pixel(x: jax.Array, x_lens: jax.Array, attn_mask: jax.Array,
+                     conv_mask: jax.Array, factor: int):
+    """repeat_interleave upsampling (reference sampling.py:116-140)."""
+    y = jnp.repeat(x, factor, axis=1)
+    return (y, x_lens * factor,
+            jnp.repeat(jnp.repeat(attn_mask, factor, axis=1), factor,
+                       axis=2),
+            jnp.repeat(conv_mask, factor, axis=1))
+
+
+# ------------------------------------------------------- style-conditioned
+
+def init_adaptive_norm_params(key, d_model: int, style_dim: int) -> dict:
+    """Style-conditioned affine norm (reference normalization.py:23-42)."""
+    bound = 1.0 / math.sqrt(style_dim)
+    w = jax.random.uniform(key, (style_dim, 2 * d_model), minval=-bound,
+                           maxval=bound)
+    return {"w": w}
+
+
+def adaptive_norm(p: dict, x: jax.Array, x_lens: jax.Array,
+                  styles: jax.Array) -> jax.Array:
+    """Instance-normalize over time, then apply style-derived scale/bias."""
+    from asr_streaming_tpu.ops.sequence import compute_statistic
+    d = x.shape[-1]
+    coeff = styles @ p["w"]
+    scale, bias = coeff[:, :d], coeff[:, d:]
+    mean, std = compute_statistic(x, x_lens)
+    x = (x - mean[:, None]) / (std[:, None] + 1e-5)
+    return scale[:, None] * x + bias[:, None]
+
+
+def mixstyle_norm(p: dict, key, x: jax.Array, x_lens: jax.Array,
+                  styles: jax.Array, training: bool = True,
+                  probability: float = 0.2) -> jax.Array:
+    """MixStyle: blend style affine params across the batch (reference
+    normalization.py:45-78); identity at inference."""
+    if not training:
+        return x
+    from asr_streaming_tpu.ops.sequence import compute_statistic
+    k1, k2, k3 = jax.random.split(key, 3)
+    d = x.shape[-1]
+    B = x.shape[0]
+    coeff = styles @ p["w"]
+    mu1, sig1 = coeff[:, :d], coeff[:, d:]
+    perm = jax.random.permutation(k1, B)
+    mu2, sig2 = mu1[perm], sig1[perm]
+    weight = jax.random.beta(k2, 0.1, 0.1, (B, 1))
+    scale = weight * mu1 + (1 - weight) * mu2
+    bias = weight * sig1 + (1 - weight) * sig2
+    mean, std = compute_statistic(x, x_lens)
+    normed = (x - mean[:, None]) / (std[:, None] + 1e-5)
+    mixed = scale[:, None] * normed + bias[:, None]
+    apply = jax.random.uniform(k3, ()) <= probability
+    return jnp.where(apply, mixed, x)

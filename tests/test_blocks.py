@@ -167,3 +167,48 @@ def test_istft_roundtrip():
     n = min(out.shape[1], len(wave))
     np.testing.assert_allclose(out[0, hop:n - hop], wave[hop:n - hop],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_pixel_ops():
+    from asr_streaming_tpu.models.blocks import (
+        downsampling_pixel, init_downsampling_pixel_params,
+        upsampling_pixel, make_padding_mask,
+    )
+    p = init_downsampling_pixel_params(jax.random.PRNGKey(10), 16, 2)
+    x = jnp.asarray(np.random.default_rng(10).standard_normal((2, 12, 16)),
+                    dtype=jnp.float32)
+    lens = jnp.array([12, 8])
+    valid = make_padding_mask(lens, 12)
+    attn = ~(valid[:, None, :] & valid[:, :, None])
+    y, y_lens, a2, c2 = downsampling_pixel(p, x, lens, attn, ~valid, 2)
+    assert y.shape == (2, 6, 16)
+    assert list(np.asarray(y_lens)) == [6, 4]
+    assert a2.shape == (2, 6, 6) and c2.shape == (2, 6)
+
+    u, u_lens, a3, c3 = upsampling_pixel(y, y_lens, a2, c2, 2)
+    assert u.shape == (2, 12, 16)
+    assert list(np.asarray(u_lens)) == [12, 8]
+    np.testing.assert_array_equal(np.asarray(u[0, 0]), np.asarray(u[0, 1]))
+
+
+def test_adaptive_and_mixstyle_norms():
+    from asr_streaming_tpu.models.blocks import (
+        adaptive_norm, init_adaptive_norm_params, mixstyle_norm,
+    )
+    p = init_adaptive_norm_params(jax.random.PRNGKey(11), 8, 4)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 10, 8)) * 5 + 3,
+                    dtype=jnp.float32)
+    lens = jnp.array([10, 6])
+    styles = jnp.asarray(rng.standard_normal((2, 4)), dtype=jnp.float32)
+    y = adaptive_norm(p, x, lens, styles)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+    # inference mixstyle = identity
+    z = mixstyle_norm(p, jax.random.PRNGKey(0), x, lens, styles,
+                      training=False)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(x))
+    # training mixstyle runs and stays finite
+    z2 = mixstyle_norm(p, jax.random.PRNGKey(1), x, lens, styles,
+                       training=True, probability=1.0)
+    assert np.isfinite(np.asarray(z2)).all()
