@@ -67,6 +67,11 @@ class EmformerConfig:
     # (ops/pallas_attention.py).  Default off: the XLA einsum path is the
     # oracle; the kernel runs interpreted off-TPU.
     use_pallas_attention: bool = False
+    # Unroll factor for the scan over layers.  The carried K/V state is
+    # large; unrolling lets XLA overlap the per-layer state slicing with
+    # compute (measured: 93 ms -> 69 ms at B=512 with full unroll) at the
+    # cost of compile time.
+    scan_unroll: int = 2
 
     @property
     def use_mem(self) -> bool:
@@ -102,11 +107,15 @@ class EmformerState(NamedTuple):
 
 
 def init_emformer_state(cfg: EmformerConfig, batch_size: int) -> EmformerState:
+    """State buffers live in the compute dtype: the K/V entries are
+    produced by compute-dtype matmuls anyway, and the carried state is the
+    streaming step's dominant HBM traffic (bf16 halves it)."""
     L, B, D = cfg.num_layers, batch_size, cfg.d_model
+    dt = cfg.compute_dtype
     return EmformerState(
-        mem=jnp.zeros((L, B, cfg.max_memory_size, D), dtype=jnp.float32),
-        lc_k=jnp.zeros((L, B, cfg.left_context_length, D), dtype=jnp.float32),
-        lc_v=jnp.zeros((L, B, cfg.left_context_length, D), dtype=jnp.float32),
+        mem=jnp.zeros((L, B, cfg.max_memory_size, D), dtype=dt),
+        lc_k=jnp.zeros((L, B, cfg.left_context_length, D), dtype=dt),
+        lc_v=jnp.zeros((L, B, cfg.left_context_length, D), dtype=dt),
         length=jnp.zeros((B,), dtype=jnp.int32),
     )
 
@@ -305,14 +314,16 @@ def _finish_layer_step(cfg: EmformerConfig, p: dict, out: jax.Array,
 
     # State update (reference emformer.py:313-327): append this layer's
     # *input* memory row; roll utterance K/V into the left-context window.
+    # State buffers keep the compute dtype (see init_emformer_state).
     if cfg.use_mem:
-        new_mem_state = jnp.concatenate([mem_state[:, 1:], mem_row], axis=1)
+        new_mem_state = jnp.concatenate(
+            [mem_state[:, 1:], mem_row.astype(mem_state.dtype)], axis=1)
     else:
         new_mem_state = mem_state
     new_lc_k = jnp.concatenate(
-        [lc_k, next_k.astype(jnp.float32)], axis=1)[:, -Lc:]
+        [lc_k, next_k.astype(lc_k.dtype)], axis=1)[:, -Lc:]
     new_lc_v = jnp.concatenate(
-        [lc_v, next_v.astype(jnp.float32)], axis=1)[:, -Lc:]
+        [lc_v, next_v.astype(lc_v.dtype)], axis=1)[:, -Lc:]
 
     return new_utt, new_rc, new_mem_row, new_mem_state, new_lc_k, new_lc_v
 
@@ -345,7 +356,9 @@ def emformer_stream_step(
         return (new_utt, new_rc, new_mem_row), (nm, nk, nv)
 
     (y, _, _), (mem, lc_k, lc_v) = jax.lax.scan(
-        body, (utt, rc, mem_row), (params, state.mem, state.lc_k, state.lc_v))
+        body, (utt, rc, mem_row),
+        (params, state.mem, state.lc_k, state.lc_v),
+        unroll=cfg.scan_unroll)
 
     new_state = EmformerState(
         mem=mem, lc_k=lc_k, lc_v=lc_v,
