@@ -26,7 +26,10 @@ import numpy as np
 TICK_SECONDS = 0.64
 BASELINE_STREAMS = 500.0
 SLOTS = 512
-MEASURE_TICKS = 8
+# the host<->device tunnel throughput fluctuates heavily between runs;
+# measure many ticks and take the median
+MEASURE_TICKS = 24
+WARMUP_TICKS = 3
 
 
 def main():
@@ -59,7 +62,8 @@ def main():
         s.accept_waveform(audio)
         streams.append(s)
 
-    sched.tick()  # warm host paths
+    for _ in range(WARMUP_TICKS):
+        sched.tick()
     times = []
     for _ in range(MEASURE_TICKS):
         t1 = time.perf_counter()
