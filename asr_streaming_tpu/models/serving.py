@@ -63,6 +63,10 @@ class ServingConfig:
     # endpoint flush (asr-online.yaml:103-107).
     max_emission_frames: int = 1024
     emission_dtype: str = "float16"
+    # Host->device audio encoding.  "int16" is lossless PCM (default);
+    # "mulaw" (G.711 mu-law, 8-bit) halves the upload bytes — the serving
+    # bottleneck on thin host links — at telephony-grade fidelity.
+    upload_encoding: str = "int16"
 
 
 # Host-pack layout: one [B, 5 + n] float32 array per tick (a single
@@ -174,12 +178,31 @@ def init_audio_context(cfg: ServingConfig, max_slots: int) -> jax.Array:
     return jnp.zeros((max_slots, cfg.asr.audio.buffer_length), jnp.float32)
 
 
+MU = 255.0
+
+
+def mulaw_encode_host(x: "np.ndarray"):
+    """float [-1,1] -> uint8 G.711-style mu-law (host side)."""
+    import numpy as np
+    x = np.clip(x, -1.0, 1.0)
+    y = np.sign(x) * np.log1p(MU * np.abs(x)) / np.log1p(MU)
+    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+
+def _mulaw_decode(u8: jax.Array) -> jax.Array:
+    y = u8.astype(jnp.float32) / 127.5 - 1.0
+    return jnp.sign(y) * (jnp.power(1.0 + MU, jnp.abs(y)) - 1.0) / MU
+
+
 def _assemble_wave(cfg: ServingConfig, segment_i16: jax.Array,
                    ctx: jax.Array, active: jax.Array,
                    new_stream: jax.Array):
-    """int16 new segment + carried context -> float chunk window;
+    """Encoded new segment + carried context -> float chunk window;
     also returns the updated context (advances only for active slots)."""
-    seg = segment_i16.astype(jnp.float32) / 32768.0
+    if cfg.upload_encoding == "mulaw":
+        seg = _mulaw_decode(segment_i16)
+    else:
+        seg = segment_i16.astype(jnp.float32) / 32768.0
     ctx = jnp.where(new_stream[:, None], 0.0, ctx)
     wave = jnp.concatenate([ctx, seg], axis=1)
     buffer_len = ctx.shape[1]

@@ -76,10 +76,12 @@ class Scheduler:
         self._new_stream = np.zeros(max_slots, bool)
         # only NEW audio crosses the host link (int16); the carried
         # context prefix lives on device (init_audio_context)
-        # double-buffered int16 staging (the async H2D copy may still be
+        # double-buffered staging (the async H2D copy may still be
         # reading buffer A while buffer B is filled for the next tick)
+        self._mulaw = cfg.upload_encoding == "mulaw"
+        seg_dtype = np.uint8 if self._mulaw else np.int16
         self._segment = np.zeros(
-            (2, max_slots, cfg.asr.audio.segment_length), np.int16)
+            (2, max_slots, cfg.asr.audio.segment_length), seg_dtype)
         self._staging_idx = 0
         self._seg_f32 = np.zeros((max_slots, cfg.asr.audio.segment_length),
                                  np.float32)
@@ -107,7 +109,8 @@ class Scheduler:
         streaming_server.py:108-215).  Returns compile seconds."""
         t0 = time.perf_counter()
         B = self.max_slots
-        seg = jnp.zeros((B, self.cfg.asr.audio.segment_length), jnp.int16)
+        seg_dt = jnp.uint8 if self._mulaw else jnp.int16
+        seg = jnp.zeros((B, self.cfg.asr.audio.segment_length), seg_dt)
         flags = jnp.zeros((B,), bool)
         out = self._run_step(seg, flags, flags, flags, flags)
         jax.block_until_ready(out)
@@ -184,11 +187,18 @@ class Scheduler:
         if ready:
             staging = self._segment[self._staging_idx]
             self._staging_idx ^= 1
-            for slot, s in ready:
-                seg = s.pop_chunk()
-                np.multiply(seg, 32767.0, out=self._seg_f32[slot])
-            np.clip(self._seg_f32, -32768, 32767, out=self._seg_f32)
-            staging[:] = self._seg_f32.astype(np.int16)
+            if self._mulaw:
+                from asr_streaming_tpu.models.serving import \
+                    mulaw_encode_host
+                for slot, s in ready:
+                    self._seg_f32[slot] = s.pop_chunk()
+                staging[:] = mulaw_encode_host(self._seg_f32)
+            else:
+                for slot, s in ready:
+                    seg = s.pop_chunk()
+                    np.multiply(seg, 32767.0, out=self._seg_f32[slot])
+                np.clip(self._seg_f32, -32768, 32767, out=self._seg_f32)
+                staging[:] = self._seg_f32.astype(np.int16)
             seg_dev = jnp.asarray(staging)      # async H2D copy starts
 
         # ---- phase 2: harvest the previous batch

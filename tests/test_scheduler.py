@@ -128,3 +128,31 @@ def test_offset_arithmetic_reference_semantics():
     if s.emission_length:
         # first decoded chunk came after 2 silent chunks: offset = 2*16 - 5
         assert s.offset == 2 * 16 - 5
+
+
+def test_mulaw_upload_encoding_roundtrip():
+    """mu-law codec: encode/decode SNR > 30 dB, and the scheduler runs
+    end-to-end with upload_encoding='mulaw'."""
+    import jax.numpy as jnp
+    from asr_streaming_tpu.models.serving import (
+        _mulaw_decode, mulaw_encode_host,
+    )
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(4000) * 0.2).clip(-1, 1).astype(np.float32)
+    rec = np.asarray(_mulaw_decode(jnp.asarray(mulaw_encode_host(x))))
+    snr = 10 * np.log10(np.mean(x ** 2) / np.mean((x - rec) ** 2))
+    assert snr > 30
+
+    import dataclasses
+    from asr_streaming_tpu.models.serving import (
+        ServingConfig, init_serving_params,
+    )
+    from asr_streaming_tpu.models.asr import ASRConfig
+    cfg = ServingConfig(asr=ASRConfig.tiny(vocab_size=len(VOCAB)),
+                        use_silero=False, upload_encoding="mulaw")
+    params = init_serving_params(jax.random.PRNGKey(0), cfg)
+    sched = Scheduler(params, cfg, VOCAB, max_slots=2, rules=FLUSH_RULES)
+    s = sched.admit("m0")
+    s.accept_waveform(speechy_audio(2.5, seed=4))
+    events = sched.drain()
+    assert any(e.is_final for e in events)
