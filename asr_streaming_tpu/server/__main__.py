@@ -27,10 +27,25 @@ def build_server(settings, max_slots=None):
     from asr_streaming_tpu.text.vocab import load_vocab, placeholder_vocab
     from asr_streaming_tpu.utils.checkpoint import load_params
 
+    import dataclasses
+
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         settings.compute_dtype]
-    asr_cfg = ASRConfig.vietnamese(compute_dtype=dtype)
-    cfg = ServingConfig(asr=asr_cfg, use_silero=settings.use_silero)
+    if settings.language == "en":
+        # English path: Emformer-RNNT (reference streaming_server.py:176-181)
+        from asr_streaming_tpu.models.rnnt import RNNTConfig
+        from asr_streaming_tpu.models.emformer import EmformerConfig
+        rnnt_cfg = RNNTConfig(emformer=dataclasses.replace(
+            RNNTConfig().emformer, compute_dtype=dtype))
+        asr_cfg = dataclasses.replace(ASRConfig.vietnamese(dtype),
+                                      audio=settings.audio)
+        cfg = ServingConfig(asr=asr_cfg, model_kind="rnnt", rnnt=rnnt_cfg,
+                            use_silero=settings.use_silero)
+    else:
+        asr_cfg = dataclasses.replace(
+            ASRConfig.vietnamese(compute_dtype=dtype),
+            audio=settings.audio)
+        cfg = ServingConfig(asr=asr_cfg, use_silero=settings.use_silero)
 
     params = init_serving_params(jax.random.PRNGKey(0), cfg)
     if settings.checkpoint:
@@ -42,7 +57,9 @@ def build_server(settings, max_slots=None):
     if settings.vocab_path:
         vocab = load_vocab(settings.vocab_path)
     else:
-        vocab = placeholder_vocab(cfg.asr.encoder.vocab_size)
+        size = (cfg.rnnt.vocab_size if cfg.model_kind == "rnnt"
+                else cfg.asr.encoder.vocab_size)
+        vocab = placeholder_vocab(size)
 
     scheduler = Scheduler(
         params, cfg, vocab,
