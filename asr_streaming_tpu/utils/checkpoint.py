@@ -54,3 +54,23 @@ def load_params(path: str, like=None):
         assert arr.shape == leaf.shape, (key, arr.shape, leaf.shape)
         leaves.append(arr.astype(leaf.dtype))
     return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
+# ----------------------------------------------------------- orbax backend
+
+def save_params_orbax(directory: str, params) -> None:
+    """Sharding-aware checkpoint via orbax (multi-host training jobs);
+    the npz format above remains the portable serving format."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        import os
+        ckptr.save(os.path.abspath(directory), params, force=True)
+
+
+def load_params_orbax(directory: str, like):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        import os
+        return ckptr.restore(os.path.abspath(directory), like)

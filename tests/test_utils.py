@@ -99,3 +99,17 @@ def test_audio_archiver_and_audacity(tmp_path):
                            str(labels))
     lines = labels.read_text().strip().split("\n")
     assert lines[0] == "0.0\t1.5\thello"
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from asr_streaming_tpu.utils.checkpoint import (
+        load_params_orbax, save_params_orbax,
+    )
+    params = {"enc": {"w": jnp.arange(12.0).reshape(3, 4),
+                      "b": jnp.ones(4)}}
+    d = str(tmp_path / "orbax_ckpt")
+    save_params_orbax(d, params)
+    restored = load_params_orbax(d, params)
+    for got, want in zip(jax.tree.leaves(restored),
+                         jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
