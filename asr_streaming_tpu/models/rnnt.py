@@ -174,6 +174,7 @@ def joiner(params: dict, enc: jax.Array, pred: jax.Array) -> jax.Array:
 class GreedyChunkOutput(NamedTuple):
     tokens: jax.Array     # [B, segment * max_symbols] int32 (blank = none)
     n_emitted: jax.Array  # [B] int32
+    encodings: jax.Array  # [B, segment, encoding_dim] transcriber outputs
     state: RNNTStreamState
 
 
@@ -243,7 +244,7 @@ def rnnt_greedy_stream_step(params: dict, cfg: RNNTConfig, feats: jax.Array,
         last_token=jnp.where(active, last_token, state.last_token),
     )
     return GreedyChunkOutput(tokens=tokens, n_emitted=n_emitted,
-                             state=new_state)
+                             encodings=enc, state=new_state)
 
 
 # ------------------------------------------------------- host beam decoding
@@ -329,6 +330,24 @@ class RNNTBeamDecoder:
                 if len(hypos) >= self.beam_width:
                     break
         return hypos
+
+
+def make_rnnt_rescorer(params: dict, cfg: RNNTConfig,
+                       pieces: Sequence[str], beam_width: int = 10):
+    """FinalSegment -> transcript via beam search over the segment's
+    device-buffered transcriber encodings (the streaming path decodes
+    greedily; finals get the beam like the reference's torchaudio
+    RNNTBeamSearch quality, applied per segment)."""
+    beam = RNNTBeamDecoder(params, cfg, beam_width=beam_width)
+
+    def rescore(segment) -> str:
+        enc = np.asarray(segment.emission[:segment.length], np.float32)
+        if not len(enc):
+            return ""
+        hypos = beam.step_chunk(enc)
+        return detokenize_pieces(hypos[0].tokens, pieces, lstrip=False)
+
+    return rescore
 
 
 def detokenize_pieces(tokens: Sequence[int], pieces: Sequence[str],

@@ -127,9 +127,12 @@ def _select_state(mask: jax.Array, new: EmformerState,
 
 
 def init_emission_buffer(cfg: ServingConfig, max_slots: int) -> jax.Array:
-    """Device-resident per-slot emission ring buffer [B, MAX_T, V]."""
-    return jnp.zeros((max_slots, cfg.max_emission_frames,
-                      cfg.asr.encoder.vocab_size),
+    """Device-resident per-slot ring buffer: CTC log-probs [B, MAX_T, V]
+    (vi path) or transcriber encodings [B, MAX_T, E] (rnnt path, consumed
+    by the host beam rescorer at finals)."""
+    width = (cfg.rnnt.encoding_dim if cfg.model_kind == "rnnt"
+             else cfg.asr.encoder.vocab_size)
+    return jnp.zeros((max_slots, cfg.max_emission_frames, width),
                      dtype=jnp.dtype(cfg.emission_dtype))
 
 
@@ -325,10 +328,28 @@ def serving_step_rnnt(params: dict, cfg: ServingConfig,
     feats = feats[:, :want]
 
     out = rnnt_greedy_stream_step(params, rnnt, feats, state, active=decode)
+
+    if emission_buf is not None:
+        # Device-resident transcriber-encoding ring buffer (mirrors the
+        # CTC emission buffer): lets the host RNNT beam rescore finals
+        # without per-tick encoding transfers.
+        B, U, E = out.encodings.shape
+        pos = jnp.clip(state.encoder.length, 0,
+                       emission_buf.shape[1] - U)
+        existing = jax.vmap(
+            lambda buf, p: jax.lax.dynamic_slice(buf, (p, 0), (U, E))
+        )(emission_buf, pos)
+        rows = jnp.where(decode[:, None, None],
+                         out.encodings.astype(emission_buf.dtype),
+                         existing)
+        emission_buf = jax.vmap(
+            lambda buf, r, p: jax.lax.dynamic_update_slice(buf, r, (p, 0))
+        )(emission_buf, rows, pos)
+
     pack = _pack(decode, gate, silero_speech, lead, trail,
                  out.tokens.astype(jnp.float32))
-    return ServingTickOutput(pack=pack, state=out.state, emission=None,
-                             ctx=new_ctx)
+    return ServingTickOutput(pack=pack, state=out.state,
+                             emission=emission_buf, ctx=new_ctx)
 
 
 def make_serving_step(cfg: ServingConfig):

@@ -113,8 +113,14 @@ def build_server(settings, max_slots=None):
         speaker_verifier = SpeakerVerifier(
             eparams, ecfg, wave, threshold=settings.speaker_threshold)
 
+    en_rescorer = None
+    if cfg.model_kind == "rnnt":
+        from asr_streaming_tpu.models.rnnt import make_rnnt_rescorer
+        en_rescorer = make_rnnt_rescorer(params, cfg.rnnt, vocab)
+
     return StreamingServer(
         scheduler, rescorer=rescorer, normalizer=normalizer,
+        en_rescorer=en_rescorer,
         speaker_verifier=speaker_verifier,
         doc_root=settings.doc_root, certificate=settings.certificate,
         send_internal=settings.send_internal,

@@ -70,6 +70,7 @@ class StreamingServer:
         max_queue_size: int = 32,
         tick_idle_sleep: float = 0.005,
         save_audio_dir: Optional[str] = None,
+        en_rescorer: Optional[Callable[[FinalSegment], str]] = None,
     ):
         self.scheduler = scheduler
         self.rescorer = rescorer
@@ -83,6 +84,7 @@ class StreamingServer:
         self.max_message_size = max_message_size
         self.max_queue_size = max_queue_size
         self.tick_idle_sleep = tick_idle_sleep
+        self.en_rescorer = en_rescorer
 
         self._outboxes: dict[str, asyncio.Queue] = {}
         self._tick_boundary: Optional[asyncio.Condition] = None
@@ -305,7 +307,14 @@ class StreamingServer:
             else:
                 hypotheses = create_hypotheses(ev.text)
         else:
-            hypotheses = hypotheses_en(ev.text)
+            text = ev.text
+            if self.en_rescorer is not None and seg is not None and \
+                    seg.length > 0:
+                beam_text = await loop.run_in_executor(
+                    self._rescore_pool, self.en_rescorer, seg)
+                if beam_text.strip():
+                    text = beam_text
+            hypotheses = hypotheses_en(text)
 
         result = DecodedResult()
         result.id = getattr(stream, "client_id", None) or ev.stream_id

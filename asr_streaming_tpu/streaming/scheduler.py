@@ -66,10 +66,8 @@ class Scheduler:
 
         self.device_state = init_serving_state(cfg, max_slots)
         self.is_rnnt = cfg.model_kind == "rnnt"
-        self.emission_buf = None if self.is_rnnt else \
-            init_emission_buffer(cfg, max_slots)
-        self._fetch_emission = None if self.is_rnnt else \
-            make_emission_fetcher(cfg)
+        self.emission_buf = init_emission_buffer(cfg, max_slots)
+        self._fetch_emission = make_emission_fetcher(cfg)
         self.streams: Dict[int, Stream] = {}     # slot -> stream
         self._free = list(range(max_slots))[::-1]
         self._needs_reset = np.zeros(max_slots, bool)
@@ -89,9 +87,8 @@ class Scheduler:
         self.pending_slots: set = set()
         self.audio_ctx = init_audio_context(cfg, max_slots)
 
-        # donate the carried device state + context (+ emission on CTC)
-        donate = ((5, 6, 7) if not self.is_rnnt else (5, 6)) \
-            if donate_state else ()
+        # donate the carried device state + context + emission buffer
+        donate = (5, 6, 7) if donate_state else ()
         self._step = jax.jit(
             partial(make_serving_step(cfg), self.params, self.cfg),
             donate_argnums=donate)
@@ -117,14 +114,10 @@ class Scheduler:
         return time.perf_counter() - t0
 
     def _run_step(self, segment, contain, active, new_stream, reset):
-        if self.is_rnnt:
-            out = self._step(segment, contain, active, new_stream, reset,
-                             self.device_state, self.audio_ctx)
-        else:
-            out = self._step(segment, contain, active, new_stream, reset,
-                             self.device_state, self.audio_ctx,
-                             self.emission_buf)
-            self.emission_buf = out.emission
+        out = self._step(segment, contain, active, new_stream, reset,
+                         self.device_state, self.audio_ctx,
+                         self.emission_buf)
+        self.emission_buf = out.emission
         self.device_state = out.state
         self.audio_ctx = out.ctx
         return out
@@ -252,7 +245,9 @@ class Scheduler:
                     toks = [int(t) for t in data[slot] if t != blank]
                     delta = detokenize_pieces(toks, self.vocab,
                                               lstrip=False)
-                    s.apply_decode_en(delta, trail[slot], lead[slot])
+                    s.apply_decode_en(
+                        delta, trail[slot], lead[slot],
+                        enc_frames=self.cfg.rnnt.emformer.segment_length)
                     partial_update[slot] = bool(delta.strip())
                 else:
                     s.apply_decode(data[slot])
@@ -265,9 +260,10 @@ class Scheduler:
                 self._needs_reset[slot] = True  # state_init on next tick
                 emission_len = s.emission_length
                 seg = s.take_final_segment(utt_len)
-                if not self.is_rnnt and emission_len > 0:
-                    # fetch this segment's emissions from the device
-                    # buffer before the slot resets and overwrites them
+                if emission_len > 0:
+                    # fetch this segment's device buffer (CTC log-probs /
+                    # RNNT encodings) before the slot resets and
+                    # overwrites it
                     seg.emission = self._fetch_emission(
                         self.emission_buf, slot, emission_len)
                     seg.length = emission_len

@@ -175,12 +175,15 @@ class Stream:
         return text
 
     def apply_decode_en(self, text_delta: str, trail_silence: float,
-                        lead_silence: float = 0.0) -> str:
+                        lead_silence: float = 0.0,
+                        enc_frames: int = 0) -> str:
         """EN/RNNT chunk outcome: incremental transcript deltas + Silero
         timing (reference streaming_server.py:444-455 + stream.py:114-125).
-        """
+        enc_frames counts device-buffered transcriber encodings (for the
+        host beam rescore at finals)."""
         if text_delta.strip() and not self.transcript_internal:
             self.segment_start = lead_silence
+        self.emission_length += enc_frames
         self.transcript_internal += text_delta
         self.chunk_processed += 1
         self.chunk_processed_total += 1

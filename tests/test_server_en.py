@@ -25,6 +25,7 @@ PIECES = [f"▁t{i}" for i in range(RNNT_CFG.vocab_size - 1)] + ["<b>"]
 
 
 def build_en_server():
+    from asr_streaming_tpu.models.rnnt import make_rnnt_rescorer
     asr = dataclasses.replace(ASRConfig.tiny(), audio=EN_AUDIO)
     cfg = ServingConfig(asr=asr, model_kind="rnnt", rnnt=RNNT_CFG,
                         use_silero=False)
@@ -32,7 +33,10 @@ def build_en_server():
     sched = Scheduler(params, cfg, PIECES, max_slots=4, language="en",
                       rules={"flush": EndpointRule(True, 0.0, 0.9,
                                                    float("inf"))})
-    return StreamingServer(sched, tick_idle_sleep=0.002)
+    return StreamingServer(
+        sched, tick_idle_sleep=0.002,
+        en_rescorer=make_rnnt_rescorer(params, RNNT_CFG, PIECES,
+                                       beam_width=2))
 
 
 def test_en_server_end_to_end():
