@@ -86,3 +86,18 @@ def test_piecewise_linear_log_regions():
     out = log_mel(params, cfg, wave)
     assert out.shape[2] == 80
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_en_global_stats_normalization():
+    """The EN path's _GlobalStatsNormalization equivalent: (x-mean)*inv."""
+    cfg = MelConfig.for_english()
+    params = make_mel_params(cfg)
+    rng = np.random.default_rng(2)
+    wave = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32)
+                       * 0.1)
+    base = log_mel(params, cfg, wave)
+    mean = jnp.full((cfg.n_mels,), 1.5)
+    inv = jnp.full((cfg.n_mels,), 0.5)
+    normed = log_mel(params, cfg, wave, mean=mean, invstddev=inv)
+    np.testing.assert_allclose(np.asarray(normed),
+                               (np.asarray(base) - 1.5) * 0.5, rtol=1e-5)
