@@ -35,8 +35,24 @@ class ASRModel:
                  checkpoint: Optional[str] = None,
                  vocab: Optional[Sequence[str]] = None,
                  lexicon: Optional[Dict[str, List[str]]] = None,
-                 seed: int = 0):
+                 seed: int = 0, use_corpus: bool = True):
+        import dataclasses
+
+        from asr_streaming_tpu.text.corpus import load_corpus
+
         self.cfg = cfg or ASRConfig.vietnamese()
+        if vocab is None and use_corpus:
+            # resolve the production corpus (804-token vocab, reference
+            # lightspeech/datas/text.py:27-38); the CTC head is sized by
+            # the served vocab
+            cvocab, clex = load_corpus()
+            if cvocab is not None:
+                vocab = cvocab
+                lexicon = lexicon or clex
+                if cfg is None:
+                    self.cfg = dataclasses.replace(
+                        self.cfg, encoder=dataclasses.replace(
+                            self.cfg.encoder, vocab_size=len(cvocab)))
         self.params = init_asr_params(jax.random.PRNGKey(seed), self.cfg)
         if checkpoint:
             self.params = load_params(checkpoint, like=self.params)

@@ -18,12 +18,16 @@ import numpy as np
 
 
 def build_server(settings, max_slots=None):
+    from asr_streaming_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()   # warm restarts skip the minutes-long XLA compile
+
     from asr_streaming_tpu.models.asr import ASRConfig
     from asr_streaming_tpu.models.serving import (
         ServingConfig, init_serving_params,
     )
     from asr_streaming_tpu.streaming.scheduler import Scheduler
     from asr_streaming_tpu.server.ws_server import StreamingServer
+    from asr_streaming_tpu.text.corpus import corpus_paths
     from asr_streaming_tpu.text.vocab import load_vocab, placeholder_vocab
     from asr_streaming_tpu.utils.checkpoint import load_params
 
@@ -31,6 +35,22 @@ def build_server(settings, max_slots=None):
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         settings.compute_dtype]
+
+    # resolve the production corpus (vocab + lexicon) for the vi path; the
+    # reference loads these as package resources (lightspeech/datas/text.py:
+    # 27-38) — here they come from ASR_CORPUS_DIR / config / known locations
+    vocab = None
+    if settings.vocab_path:
+        vocab = load_vocab(settings.vocab_path)
+    elif settings.language != "en":
+        paths = corpus_paths(getattr(settings, "corpus_dir", None))
+        if "vocab" in paths:
+            vocab = load_vocab(paths["vocab"])
+            logging.info("loaded corpus vocab (%d tokens) from %s",
+                         len(vocab), paths["vocab"])
+        if not settings.lexicon_path and "lexicon" in paths:
+            settings.lexicon_path = paths["lexicon"]
+
     if settings.language == "en":
         # English path: Emformer-RNNT (reference streaming_server.py:176-181)
         from asr_streaming_tpu.models.rnnt import RNNTConfig
@@ -40,12 +60,22 @@ def build_server(settings, max_slots=None):
         asr_cfg = dataclasses.replace(ASRConfig.vietnamese(dtype),
                                       audio=settings.audio)
         cfg = ServingConfig(asr=asr_cfg, model_kind="rnnt", rnnt=rnnt_cfg,
-                            use_silero=settings.use_silero)
+                            use_silero=settings.use_silero,
+                            upload_encoding=settings.upload_encoding)
     else:
         asr_cfg = dataclasses.replace(
             ASRConfig.vietnamese(compute_dtype=dtype),
             audio=settings.audio)
-        cfg = ServingConfig(asr=asr_cfg, use_silero=settings.use_silero)
+        if vocab is not None:
+            # the CTC head is sized by the served vocab (the reference sizes
+            # it from checkpoint hparams; the shipped vocab.txt parses to 804
+            # tokens — no trailing newline)
+            asr_cfg = dataclasses.replace(
+                asr_cfg,
+                encoder=dataclasses.replace(asr_cfg.encoder,
+                                            vocab_size=len(vocab)))
+        cfg = ServingConfig(asr=asr_cfg, use_silero=settings.use_silero,
+                            upload_encoding=settings.upload_encoding)
 
     params = init_serving_params(jax.random.PRNGKey(0), cfg)
     if settings.checkpoint:
@@ -54,12 +84,11 @@ def build_server(settings, max_slots=None):
     else:
         logging.warning("no checkpoint configured — serving random weights")
 
-    if settings.vocab_path:
-        vocab = load_vocab(settings.vocab_path)
-    else:
+    if vocab is None:
         size = (cfg.rnnt.vocab_size if cfg.model_kind == "rnnt"
                 else cfg.asr.encoder.vocab_size)
         vocab = placeholder_vocab(size)
+        logging.warning("no corpus vocab found — using placeholder vocab")
 
     scheduler = Scheduler(
         params, cfg, vocab,

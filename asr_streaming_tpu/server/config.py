@@ -35,6 +35,7 @@ class ServerSettings:
     noise_threshold_db: float = -40.0
     compute_dtype: str = "bfloat16"
     checkpoint: Optional[str] = None
+    corpus_dir: Optional[str] = None           # dir with vocab.txt/lexicon.txt
     vocab_path: Optional[str] = None
     lexicon_path: Optional[str] = None
     lm_path: Optional[str] = None              # ARPA for beam rescoring
@@ -49,6 +50,9 @@ class ServerSettings:
     endpoint_rules: Dict = dataclasses.field(
         default_factory=lambda: VI_DEFAULT_RULES)
     use_silero: bool = True
+    upload_encoding: str = "mulaw"   # "int16" | "mulaw" (halved tick bytes)
+    en_beam_partials: bool = False   # EN: carried-hypothesis beam per chunk
+    en_beam_width: int = 10
     lm_weight: float = 1.0
     beam_size: int = 50
     beam_size_token: int = 5
@@ -71,10 +75,12 @@ class ServerSettings:
             s.audio = EN_AUDIO
             s.endpoint_rules = EN_DEFAULT_RULES
         for key in ("send_internal", "save_audio", "filter_noise",
-                    "compute_dtype", "checkpoint", "vocab_path",
+                    "compute_dtype", "checkpoint", "corpus_dir", "vocab_path",
                     "lexicon_path", "lm_path", "lm_endpointing_path",
                     "vad_weights", "doc_root", "certificate", "speaker_wav",
-                    "use_silero", "lm_weight", "beam_size", "beam_size_token",
+                    "use_silero", "upload_encoding", "en_beam_partials",
+                    "en_beam_width",
+                    "lm_weight", "beam_size", "beam_size_token",
                     "beam_threshold", "word_score",
                     "max_active_connections"):
             if key in blob:

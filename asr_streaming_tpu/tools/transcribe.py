@@ -31,9 +31,13 @@ def main():
 
     from asr_streaming_tpu.models.api import ASRModel
     from asr_streaming_tpu.train.data import read_wav
+    from asr_streaming_tpu.text.corpus import corpus_paths
     from asr_streaming_tpu.text.vocab import load_lexicon, load_vocab
     from asr_streaming_tpu.utils.resample import resample
 
+    # default to the production corpus when no explicit paths are given
+    if not args.lexicon:
+        args.lexicon = corpus_paths().get("lexicon")
     vocab = load_vocab(args.vocab) if args.vocab else None
     lexicon = load_lexicon(args.lexicon) if args.lexicon else None
     model = ASRModel(checkpoint=args.checkpoint, vocab=vocab,

@@ -33,6 +33,8 @@ WARMUP_TICKS = 3
 
 
 def main():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from asr_streaming_tpu.models.asr import ASRConfig
@@ -40,13 +42,29 @@ def main():
         ServingConfig, init_serving_params,
     )
     from asr_streaming_tpu.streaming.scheduler import Scheduler
+    from asr_streaming_tpu.text.corpus import load_corpus
     from asr_streaming_tpu.text.vocab import placeholder_vocab
+    from asr_streaming_tpu.utils.compile_cache import enable_compile_cache
 
-    cfg = ServingConfig(asr=ASRConfig.vietnamese(compute_dtype=jnp.bfloat16),
-                        use_silero=True)
+    enable_compile_cache()
+
+    # production Vietnamese corpus (804-token subword vocab) when present;
+    # the CTC head is sized by the served vocab
+    vocab, _lex = load_corpus()
+    asr_cfg = ASRConfig.vietnamese(compute_dtype=jnp.bfloat16)
+    if vocab is None:
+        vocab = placeholder_vocab(asr_cfg.encoder.vocab_size)
+    else:
+        asr_cfg = dataclasses.replace(
+            asr_cfg, encoder=dataclasses.replace(asr_cfg.encoder,
+                                                 vocab_size=len(vocab)))
+    # mu-law upload halves the host->device audio bytes — the tick is
+    # upload-bandwidth-bound on the thin tunnel link (greedy-token
+    # equivalence at G.711 fidelity is covered by tests/test_mulaw.py)
+    cfg = ServingConfig(asr=asr_cfg, use_silero=True,
+                        upload_encoding="mulaw")
     params = init_serving_params(jax.random.PRNGKey(0), cfg)
-    sched = Scheduler(params, cfg, placeholder_vocab(
-        cfg.asr.encoder.vocab_size), max_slots=SLOTS)
+    sched = Scheduler(params, cfg, vocab, max_slots=SLOTS)
 
     t0 = time.time()
     compile_s = sched.warmup()

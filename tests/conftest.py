@@ -18,3 +18,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: repeat test runs skip recompiles
+from asr_streaming_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(os.path.expanduser("~/.cache/asr_streaming_tpu/xla-test"))

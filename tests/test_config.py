@@ -60,3 +60,31 @@ def test_env_beats_yaml_language(tmp_path):
     s = ServerSettings.load(str(cfg), env={"LANGUAGE": "en"})
     assert s.language == "en"
     assert s.port == 1234
+
+
+def test_shipped_production_configs():
+    """configs/server-{vi,en}.yaml are full production configs: complete
+    reference rule tables (13 vi / 4 en), beam hyperparameters, thresholds
+    (reference config/asr-online.yaml:18-110, asr-online-en.yaml:31-55)."""
+    import os
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+    vi = ServerSettings.load(os.path.join(root, "server-vi.yaml"), env={})
+    assert vi.language == "vi"
+    assert len(vi.endpoint_rules) == 13
+    r4 = vi.endpoint_rules["rule4"]
+    assert r4.min_utterance_length == 40.0
+    assert r4.max_relative_cost == math.inf
+    assert (vi.lm_weight, vi.beam_size, vi.beam_size_token,
+            vi.beam_threshold, vi.word_score) == (1.0, 50, 5, 50.0, 0.5)
+    assert vi.speaker_threshold == 0.45
+    assert vi.noise_threshold_db == -40
+    assert vi.upload_encoding == "mulaw"
+    assert vi.audio.segment_size == 64 and vi.audio.context_size == 16
+
+    en = ServerSettings.load(os.path.join(root, "server-en.yaml"), env={})
+    assert en.language == "en"
+    assert len(en.endpoint_rules) == 4
+    assert en.endpoint_rules["rule4"].min_utterance_length == 30.0
+    assert en.audio.segment_size == 16 and en.audio.framerate == 1
+    assert en.en_beam_partials is False and en.en_beam_width == 10
