@@ -59,8 +59,10 @@ class ASRModel:
         self.vocab = list(vocab) if vocab else placeholder_vocab(
             self.cfg.encoder.vocab_size)
         self.lexicon = lexicon or {}
+        # params as explicit jit args (closure-captured arrays get
+        # serialized into remote compile requests)
         self._stream_step = jax.jit(
-            lambda w, s: asr_stream_step(self.params, self.cfg, w, s))
+            lambda p, w, s: asr_stream_step(p, self.cfg, w, s))
 
     # ------------------------------------------------------------ streaming
 
@@ -73,7 +75,8 @@ class ASRModel:
         """One decode step over [B, chunk_length] audio windows ->
         (log_probs [B, U, V], new_state)  (reference recognition.py:191-204)
         """
-        out = self._stream_step(jnp.asarray(chunks, jnp.float32), state)
+        out = self._stream_step(self.params, jnp.asarray(chunks, jnp.float32),
+                                state)
         return np.asarray(out.log_probs), out.state
 
     # -------------------------------------------------------------- offline

@@ -69,9 +69,11 @@ class EmformerConfig:
     use_pallas_attention: bool = False
     # Unroll factor for the scan over layers.  The carried K/V state is
     # large; unrolling lets XLA overlap the per-layer state slicing with
-    # compute (measured: 93 ms -> 69 ms at B=512 with full unroll) at the
-    # cost of compile time.
-    scan_unroll: int = 2
+    # compute.  Measured on v5e with honest chained-step timing (state fed
+    # back per step, tools/profile_step.py): 172.7 ms/step at unroll=2 vs
+    # 36.0 ms/step fully unrolled, B=512 bf16.  Compile time rises but the
+    # persistent compilation cache (utils/compile_cache.py) amortizes it.
+    scan_unroll: int = 20
 
     @property
     def use_mem(self) -> bool:
@@ -358,7 +360,7 @@ def emformer_stream_step(
     (y, _, _), (mem, lc_k, lc_v) = jax.lax.scan(
         body, (utt, rc, mem_row),
         (params, state.mem, state.lc_k, state.lc_v),
-        unroll=cfg.scan_unroll)
+        unroll=min(cfg.scan_unroll, cfg.num_layers))
 
     new_state = EmformerState(
         mem=mem, lc_k=lc_k, lc_v=lc_v,

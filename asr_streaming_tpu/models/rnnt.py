@@ -25,6 +25,7 @@ TPU-first decisions:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -48,7 +49,12 @@ class RNNTConfig:
     blank: int = 4096
     pred_embed_dim: int = 512
     pred_hidden: int = 512
-    pred_layers: int = 2
+    # torchaudio emformer_rnnt_base: num_lstm_layers=3 with layer-normed
+    # custom LSTM cells (lstm_layer_norm=True, eps=1e-3) — the predictor
+    # must match for checkpoint import (tools/convert_rnnt_checkpoint.py)
+    pred_layers: int = 3
+    lstm_layer_norm: bool = True
+    lstm_ln_eps: float = 1e-3
     max_symbols_per_frame: int = 4
     emformer: EmformerConfig = dataclasses.field(
         default_factory=lambda: EmformerConfig(
@@ -84,16 +90,25 @@ def init_rnnt_params(key: jax.Array, cfg: RNNTConfig) -> dict:
     w_in, _ = _linear_init(ks[0], cfg.n_mels, cfg.input_linear_dim)
     w_out, b_out = _linear_init(ks[1], cfg.d_model, cfg.encoding_dim)
 
-    # predictor LSTM stack
+    # predictor LSTM stack (torchaudio _Predictor: embedding ->
+    # input_layer_norm -> _CustomLSTM stack (x2g/p2g with g_norm/c_norm
+    # when lstm_layer_norm) -> linear -> output_layer_norm)
     emb = jax.random.normal(ks[2], (cfg.vocab_size, cfg.pred_embed_dim)) \
         * (cfg.pred_embed_dim ** -0.5)
     lstms = []
     for i in range(cfg.pred_layers):
-        k1, k2 = jax.random.split(ks[3 + i])
+        k1, k2 = jax.random.split(ks[3 + i % 4])
+        k1, k2 = jax.random.fold_in(k1, i), jax.random.fold_in(k2, i)
         in_dim = cfg.pred_embed_dim if i == 0 else cfg.pred_hidden
         wi, bi = _linear_init(k1, in_dim, 4 * cfg.pred_hidden)
         wh, bh = _linear_init(k2, cfg.pred_hidden, 4 * cfg.pred_hidden)
-        lstms.append({"wi": wi, "bi": bi, "wh": wh, "bh": bh})
+        lstms.append({
+            "wi": wi, "bi": bi, "wh": wh, "bh": bh,
+            "g_scale": jnp.ones(4 * cfg.pred_hidden),
+            "g_bias": jnp.zeros(4 * cfg.pred_hidden),
+            "c_scale": jnp.ones(cfg.pred_hidden),
+            "c_bias": jnp.zeros(cfg.pred_hidden),
+        })
     w_pred, b_pred = _linear_init(ks[7], cfg.pred_hidden, cfg.encoding_dim)
     w_joint, b_joint = _linear_init(ks[8], cfg.encoding_dim, cfg.vocab_size)
 
@@ -105,6 +120,8 @@ def init_rnnt_params(key: jax.Array, cfg: RNNTConfig) -> dict:
                     "ln_bias": jnp.zeros(cfg.encoding_dim)},
         "predictor": {
             "embedding": emb,
+            "input_ln_scale": jnp.ones(cfg.pred_embed_dim),
+            "input_ln_bias": jnp.zeros(cfg.pred_embed_dim),
             "lstm": jax.tree.map(lambda *xs: jnp.stack(xs), *lstms),
             "out_w": w_pred, "out_b": b_pred,
             "ln_scale": jnp.ones(cfg.encoding_dim),
@@ -142,18 +159,37 @@ def transcriber_step(params: dict, cfg: RNNTConfig, feats: jax.Array,
     return enc, new_state
 
 
-def predictor_step(params: dict, tokens: jax.Array, state: PredictorState
+def predictor_step(params: dict, tokens: jax.Array, state: PredictorState,
+                   cfg: Optional[RNNTConfig] = None
                    ) -> Tuple[jax.Array, PredictorState]:
-    """One LSTM step.  tokens: [B] int32 -> (out [B, encoding_dim], state)."""
+    """One predictor step (torchaudio _Predictor semantics, one timestep).
+
+    tokens: [B] int32 -> (out [B, encoding_dim], state).
+
+    torchaudio's _CustomLSTM cell (verified gate order i, f, g, o):
+        gates = g_norm(x2g(x) + p2g(h))
+        c     = sigmoid(f) * c + sigmoid(i) * tanh(g)
+        c     = c_norm(c)          # the CARRIED cell is the normed one
+        h     = sigmoid(o) * tanh(c)
+    x2g/p2g carry no bias when layer_norm is on (the converter zeros
+    bi/bh); eps = lstm_ln_eps (1e-3 in emformer_rnnt_base).
+    """
+    use_ln = cfg is None or cfg.lstm_layer_norm
+    eps = 1e-3 if cfg is None else cfg.lstm_ln_eps
     p = params["predictor"]
     x = p["embedding"][tokens]
+    x = _layer_norm(x, p["input_ln_scale"], p["input_ln_bias"])
     hs, cs = [], []
     for i in range(state.h.shape[0]):
         lp = jax.tree.map(lambda a, i=i: a[i], p["lstm"])
         gates = x @ lp["wi"] + lp["bi"] + state.h[i] @ lp["wh"] + lp["bh"]
+        if use_ln:
+            gates = _layer_norm(gates, lp["g_scale"], lp["g_bias"], eps=eps)
         ii, ff, gg, oo = jnp.split(gates, 4, axis=-1)
         c = jax.nn.sigmoid(ff) * state.c[i] + \
             jax.nn.sigmoid(ii) * jnp.tanh(gg)
+        if use_ln:
+            c = _layer_norm(c, lp["c_scale"], lp["c_bias"], eps=eps)
         h = jax.nn.sigmoid(oo) * jnp.tanh(c)
         hs.append(h)
         cs.append(c)
@@ -247,6 +283,16 @@ def rnnt_greedy_stream_step(params: dict, cfg: RNNTConfig, feats: jax.Array,
                              encodings=enc, state=new_state)
 
 
+@jax.jit
+def _jit_predictor_step(params, tokens, state):
+    return predictor_step(params, tokens, state)
+
+
+@jax.jit
+def _jit_joiner_logp(params, enc, pred):
+    return jax.nn.log_softmax(joiner(params, enc, pred), axis=-1)
+
+
 # ------------------------------------------------------- host beam decoding
 
 @dataclasses.dataclass
@@ -266,9 +312,10 @@ class RNNTBeamDecoder:
         self.params = params
         self.cfg = cfg
         self.beam_width = beam_width
-        self._pred = jax.jit(lambda t, s: predictor_step(params, t, s))
-        self._join = jax.jit(
-            lambda e, p: jax.nn.log_softmax(joiner(params, e, p), axis=-1))
+        # params as explicit jit args (closure-captured arrays get
+        # serialized into remote compile requests)
+        self._pred = partial(_jit_predictor_step, params)
+        self._join = partial(_jit_joiner_logp, params)
 
     def init_hypothesis(self) -> Hypothesis:
         state = PredictorState(

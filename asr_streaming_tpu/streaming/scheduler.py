@@ -87,11 +87,19 @@ class Scheduler:
         self.pending_slots: set = set()
         self.audio_ctx = init_audio_context(cfg, max_slots)
 
-        # donate the carried device state + context + emission buffer
-        donate = (5, 6, 7) if donate_state else ()
-        self._step = jax.jit(
-            partial(make_serving_step(cfg), self.params, self.cfg),
-            donate_argnums=donate)
+        # donate the carried device state + context + emission buffer.
+        # params are an explicit argument (NOT a closure capture): captured
+        # arrays are serialized into the remote compile request, which
+        # overflows the axon tunnel's body limit (HTTP 413) at EN scale.
+        donate = (6, 7, 8) if donate_state else ()
+        step_fn = make_serving_step(cfg)
+
+        def _stepper(params, segment, contain, active, new_stream, reset,
+                     state, ctx, emission):
+            return step_fn(params, cfg, segment, contain, active,
+                           new_stream, reset, state, ctx, emission)
+
+        self._step = jax.jit(_stepper, donate_argnums=donate)
 
         # per-tick timing telemetry
         from asr_streaming_tpu.utils.observability import StageTimers
@@ -114,8 +122,8 @@ class Scheduler:
         return time.perf_counter() - t0
 
     def _run_step(self, segment, contain, active, new_stream, reset):
-        out = self._step(segment, contain, active, new_stream, reset,
-                         self.device_state, self.audio_ctx,
+        out = self._step(self.params, segment, contain, active, new_stream,
+                         reset, self.device_state, self.audio_ctx,
                          self.emission_buf)
         self.emission_buf = out.emission
         self.device_state = out.state

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Profile the Emformer device step variants at serving scale (real TPU).
+
+Timing methodology: the axon tunnel's block_until_ready can return before
+the remote compute drains, so we time CHAINED steps (state fed back in —
+exactly what the serving scheduler does every tick) and force one scalar
+fetch at the end; per-step time = total / n.
+
+Usage: python tools/profile_step.py [--slots 512]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit_chained(step, x, state0, n=20, warmup=3):
+    import jax
+    import jax.numpy as jnp
+
+    state = state0
+    for _ in range(warmup):
+        y, state = step(x, state)
+    float(jnp.sum(y))   # drain
+
+    state = state0
+    t0 = time.perf_counter()
+    for _ in range(n):
+        y, state = step(x, state)
+    # force full drain: scalar depending on both outputs
+    _ = float(jnp.sum(y) + jnp.sum(state.lc_k[-1, :, -1, :].astype(
+        jnp.float32)))
+    return (time.perf_counter() - t0) * 1e3 / n
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--slots", type=int, default=512)
+    parser.add_argument("--variants", type=str, default="2,20")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from asr_streaming_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
+    from asr_streaming_tpu.models.emformer import (
+        EmformerConfig, init_emformer_params, init_emformer_state,
+        emformer_stream_step,
+    )
+
+    B = args.slots
+    rng = np.random.default_rng(0)
+
+    for unroll in [int(v) for v in args.variants.split(",")]:
+        cfg = EmformerConfig(compute_dtype=jnp.bfloat16, scan_unroll=unroll)
+        params = init_emformer_params(jax.random.PRNGKey(0), cfg)
+        state = init_emformer_state(cfg, B)
+        x = jnp.asarray(rng.standard_normal(
+            (B, cfg.segment_length + cfg.right_context_length,
+             cfg.d_model)), jnp.float32)
+        step = jax.jit(lambda x, s: emformer_stream_step(params, cfg, x, s))
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(x, state))
+        compile_s = time.perf_counter() - t0
+        ms = timeit_chained(step, x, state)
+        print(f"scan_unroll={unroll:<3d} B={B}: {ms:8.2f} ms/step "
+              f"(compile {compile_s:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()
