@@ -47,6 +47,44 @@ def _segments(result: TranscriptionResult, language: str
     return out
 
 
+_VI_CHARS = ("àáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡ"
+             "ùúụủũưừứựửữỳýỵỷỹđ")
+
+
+def detect_language(text: str, default: str = "vi") -> str:
+    """Diacritics-based language hint (the reference merger's
+    _is_vietnamese_text check, test/asrclient.py:128-136)."""
+    lowered = text.lower()
+    if any(c in _VI_CHARS for c in lowered):
+        return "vi"
+    if lowered.strip() and all(ord(c) < 128 for c in lowered.strip()):
+        return "en"
+    return default
+
+
+def make_vi_corrector(model: str = "bmd1905/vietnamese-correction-v2"):
+    """HF text2text post-editor for Vietnamese finals (the reference
+    merger loads the same model, test/asrclient.py:100).  Returns a
+    callable or None if transformers/weights are unavailable (offline
+    deployments keep working without it)."""
+    try:
+        from transformers import pipeline
+        corrector = pipeline("text2text-generation", model=model)
+    except Exception:
+        return None
+
+    def correct(text: str) -> str:
+        if not text.strip():
+            return text
+        try:
+            out = corrector(text, max_length=512)
+            return out[0]["generated_text"]
+        except Exception:
+            return text
+
+    return correct
+
+
 def merge_bilingual(vi: List[MergedSegment], en: List[MergedSegment],
                     overlap_threshold: float = 0.5) -> List[MergedSegment]:
     """Confidence-based merge of overlapping vi/en segments; vi wins
@@ -90,17 +128,24 @@ def main():
                         default="ws://localhost:6006" + DEFAULT_PATH)
     parser.add_argument("--en-url", default=None)
     parser.add_argument("--no-realtime", action="store_true")
+    parser.add_argument("--correct", action="store_true",
+                        help="post-edit vi finals with the HF "
+                             "vietnamese-correction model")
     args = parser.parse_args()
 
     pcm = load_pcm(args.wav)
     results, merged = asyncio.run(run_dual(
         pcm, args.vi_url, args.en_url, realtime=not args.no_realtime))
+    corrector = make_vi_corrector() if args.correct else None
     for lang, res in results.items():
         print(f"[{lang}] {res.transcript}")
     print("--- merged ---")
     for seg in merged:
+        text = seg.text
+        if corrector and seg.language == "vi":
+            text = corrector(text)
         print(f"[{seg.language} {seg.start:.2f}-{seg.end:.2f} "
-              f"c={seg.confidence:.2f}] {seg.text}")
+              f"c={seg.confidence:.2f}] {text}")
 
 
 if __name__ == "__main__":

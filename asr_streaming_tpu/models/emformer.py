@@ -67,6 +67,12 @@ class EmformerConfig:
     # (ops/pallas_attention.py).  Default off: the XLA einsum path is the
     # oracle; the kernel runs interpreted off-TPU.
     use_pallas_attention: bool = False
+    # Route the ENTIRE layer step (LN + projections + attention + FFN +
+    # state roll) through the fused Pallas kernel
+    # (ops/pallas_emformer.py) — the serving-path fast path.  The XLA
+    # _layer_step remains the oracle (tests/test_pallas_emformer.py).
+    use_pallas_layer: bool = False
+    pallas_tile: int = 64           # batch rows per kernel grid step
     # Unroll factor for the scan over layers.  The carried K/V state is
     # large; unrolling lets XLA overlap the per-layer state slicing with
     # compute.  Measured on v5e with honest chained-step timing (state fed
@@ -204,6 +210,20 @@ def _layer_step(cfg: EmformerConfig, p: dict, utt: jax.Array, rc: jax.Array,
     M, Lc = cfg.max_memory_size, cfg.left_context_length
     H, Dh = cfg.num_heads, cfg.head_dim
     cdt = cfg.compute_dtype
+
+    if cfg.use_pallas_layer:
+        from asr_streaming_tpu.ops.pallas_emformer import (
+            fused_emformer_layer,
+        )
+        return fused_emformer_layer(
+            p, utt.astype(jnp.float32), rc.astype(jnp.float32),
+            None if mem_row is None else mem_row.astype(jnp.float32),
+            mem_state, lc_k, lc_v, length,
+            U=U, R=R, M=M, Lc=Lc, H=H, use_mem=cfg.use_mem,
+            tanh_on_mem=cfg.tanh_on_mem, neg_inf=cfg.negative_inf,
+            activation=cfg.activation,
+            cdt_name=jnp.dtype(cdt).name, tile=cfg.pallas_tile,
+            interpret=jax.default_backend() != "tpu")
 
     # Pre-attention layer norm over [rc; utt] (position-wise).
     ln_rc = _layer_norm(rc, p["ln_in_scale"], p["ln_in_bias"])

@@ -182,14 +182,28 @@ def init_audio_context(cfg: ServingConfig, max_slots: int) -> jax.Array:
 
 
 MU = 255.0
+_MULAW_LUT = None
 
 
 def mulaw_encode_host(x: "np.ndarray"):
-    """float [-1,1] -> uint8 G.711-style mu-law (host side)."""
+    """float [-1,1] -> uint8 G.711-style mu-law (host side).
+
+    Implemented as an int16 quantize + 64K-entry lookup: the closed-form
+    log1p over a full 512-slot tick (5.2M samples) costs ~400 ms of host
+    time — more than the entire tick budget — while the LUT path is
+    ~50 ms.  The int16 pre-quantization adds <=3e-5 error, far below
+    mu-law's own quantization step."""
     import numpy as np
-    x = np.clip(x, -1.0, 1.0)
-    y = np.sign(x) * np.log1p(MU * np.abs(x)) / np.log1p(MU)
-    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+    global _MULAW_LUT
+    if _MULAW_LUT is None:
+        # LUT indexed by the int16 bit pattern viewed as uint16
+        i16 = np.arange(65536, dtype=np.uint16).view(np.int16)
+        v = i16.astype(np.float64) / 32767.0
+        y = np.sign(v) * np.log1p(MU * np.abs(np.clip(v, -1, 1))) \
+            / np.log1p(MU)
+        _MULAW_LUT = np.round((y + 1.0) * 127.5).astype(np.uint8)
+    scaled = np.clip(x * 32767.0, -32768, 32767)
+    return _MULAW_LUT[scaled.astype(np.int16).view(np.uint16)]
 
 
 def _mulaw_decode(u8: jax.Array) -> jax.Array:

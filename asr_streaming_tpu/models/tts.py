@@ -50,6 +50,41 @@ class TTSConfig:
             n_fft=128, win_length=128, hop_length=32, max_frames=256)
 
 
+def load_tar_checkpoint(filepath: str):
+    """Load the reference's TTS tar checkpoint format (reference:
+    streaming_decoder_v1/lightspeech/models/synthesis.py:21-37): a tarball
+    holding ``config.yaml`` + ``encoder.pt`` + ``decoder.pt``.
+
+    Returns (config_dict, encoder_state_dict, decoder_state_dict) with
+    tensors as numpy arrays; callers map them onto init_tts_params-shaped
+    trees (torch Linear weights need the usual [out,in]->[in,out]
+    transpose).
+    """
+    import os
+    import tarfile
+    import tempfile
+
+    import torch
+    import yaml
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        with tarfile.open(filepath, "r") as tar:
+            tar.extractall(path=tmpdir, filter="data")
+        with open(os.path.join(tmpdir, "config.yaml")) as f:
+            config = yaml.safe_load(f)
+
+        def load_sd(name):
+            blob = torch.load(os.path.join(tmpdir, name),
+                              map_location="cpu", weights_only=False)
+            sd = blob.get("state_dict", blob) if isinstance(blob, dict) \
+                else blob
+            return {k: np.asarray(v.detach().cpu().numpy()
+                                  if hasattr(v, "detach") else v)
+                    for k, v in sd.items()}
+
+        return config, load_sd("encoder.pt"), load_sd("decoder.pt")
+
+
 def init_tts_params(key: jax.Array, cfg: TTSConfig) -> dict:
     k1, k2 = jax.random.split(key)
     assert cfg.linguistic.d_model == cfg.decoder.d_model, \

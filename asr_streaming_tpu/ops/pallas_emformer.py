@@ -114,7 +114,6 @@ def _layer_kernel(
 
     # ---- attention, one batched dot per head (fp32 logits/softmax)
     scaling = 1.0 / math.sqrt(Dh)
-    attn = jnp.zeros((TB, Q, D), jnp.float32)
     dn = (((2,), (2,)), ((0,), (0,)))                    # contract D, batch B
     dn_pv = (((2,), (1,)), ((0,), (0,)))                 # probs @ values
     row = jax.lax.broadcasted_iota(jnp.int32, (Q, K), 0)
@@ -124,18 +123,19 @@ def _layer_kernel(
     else:
         summary_block = jnp.zeros((Q, K), bool)
     mask = valid[:, None, :] & ~summary_block[None]      # [TB, Q, K]
+    heads = []
     for h in range(H):
         sl = slice(h * Dh, (h + 1) * Dh)
-        qh = (q[:, :, sl].astype(jnp.float32) * scaling).astype(cdt)
+        qh = q[:, :, sl] * scaling                       # cdt, like oracle
         logits = jax.lax.dot_general(
             qh, full_k[:, :, sl], dn,
             preferred_element_type=jnp.float32)          # [TB, Q, K]
         logits = jnp.where(mask, logits, neg_inf)
         probs = jax.nn.softmax(logits, axis=-1).astype(cdt)
-        attn = attn.at[:, :, sl].set(jax.lax.dot_general(
+        heads.append(jax.lax.dot_general(
             probs, full_v[:, :, sl], dn_pv,
             preferred_element_type=jnp.float32))
-    attn = attn.astype(cdt)
+    attn = jnp.concatenate(heads, axis=2).astype(cdt)
 
     out = (jnp.dot(attn.reshape(TB * Q, D), wout_ref[...],
                    preferred_element_type=jnp.float32).astype(cdt)
@@ -210,7 +210,8 @@ def fused_emformer_layer(p: dict, utt: jax.Array, rc: jax.Array,
     B, _, D = utt.shape
     cdt = jnp.dtype(cdt_name)
     TB = min(tile, B)
-    assert B % TB == 0, (B, TB)
+    while B % TB:            # largest divisor of B not exceeding `tile`
+        TB -= 1
     grid = (B // TB,)
 
     if mem_row is None:
@@ -232,8 +233,15 @@ def fused_emformer_layer(p: dict, utt: jax.Array, rc: jax.Array,
         return pl.BlockSpec(shape, lambda i, nd=nd: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    cast = lambda w: w.astype(cdt)          # noqa: E731
-    f32 = lambda w: w.astype(jnp.float32)   # noqa: E731
+    # 1D vectors become [1, N] (TPU VMEM blocks want >= 2 dims)
+    def cast(w):
+        w = w.astype(cdt)
+        return w[None] if w.ndim == 1 else w
+
+    def f32(w):
+        w = w.astype(jnp.float32)
+        return w[None] if w.ndim == 1 else w
+
     weights = [
         cast(p["w_q"]), cast(p["b_q"]), cast(p["w_kv"]), cast(p["b_kv"]),
         cast(p["w_out"]), cast(p["b_out"]),
@@ -272,6 +280,11 @@ def fused_emformer_layer(p: dict, utt: jax.Array, rc: jax.Array,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        # the default scoped-vmem limit is 16 MB; the fused layer's live
+        # set (weights + per-tile activations + FFN scratch) wants more,
+        # and v5e has far more physical VMEM — let Mosaic use it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(utt, rc, mem_row, mem_state, lc_k, lc_v,
       length.astype(jnp.int32).reshape(B, 1), *weights)

@@ -51,21 +51,25 @@ def build_server(settings, max_slots=None):
         if not settings.lexicon_path and "lexicon" in paths:
             settings.lexicon_path = paths["lexicon"]
 
+    use_pallas = jax.default_backend() == "tpu"
     if settings.language == "en":
         # English path: Emformer-RNNT (reference streaming_server.py:176-181)
         from asr_streaming_tpu.models.rnnt import RNNTConfig
         from asr_streaming_tpu.models.emformer import EmformerConfig
         rnnt_cfg = RNNTConfig(emformer=dataclasses.replace(
-            RNNTConfig().emformer, compute_dtype=dtype))
+            RNNTConfig().emformer, compute_dtype=dtype,
+            use_pallas_layer=use_pallas))
         asr_cfg = dataclasses.replace(ASRConfig.vietnamese(dtype),
                                       audio=settings.audio)
         cfg = ServingConfig(asr=asr_cfg, model_kind="rnnt", rnnt=rnnt_cfg,
                             use_silero=settings.use_silero,
                             upload_encoding=settings.upload_encoding)
     else:
+        from asr_streaming_tpu.models.asr import with_pallas_layer
         asr_cfg = dataclasses.replace(
             ASRConfig.vietnamese(compute_dtype=dtype),
             audio=settings.audio)
+        asr_cfg = with_pallas_layer(asr_cfg, enable=use_pallas)
         if vocab is not None:
             # the CTC head is sized by the served vocab (the reference sizes
             # it from checkpoint hparams; the shipped vocab.txt parses to 804
@@ -84,6 +88,23 @@ def build_server(settings, max_slots=None):
     else:
         logging.warning("no checkpoint configured — serving random weights")
 
+    if settings.vad_weights:
+        # trained Silero weights: .npz (from tools/onnx_weights.py) or a
+        # raw silero_vad.onnx converted on the fly
+        if settings.vad_weights.endswith(".onnx"):
+            from asr_streaming_tpu.models.vad import silero_params_from_onnx
+            from asr_streaming_tpu.tools.onnx_weights import (
+                load_onnx_initializers,
+            )
+            params["vad"] = silero_params_from_onnx(
+                load_onnx_initializers(settings.vad_weights), cfg.silero)
+        else:
+            loaded = load_params(settings.vad_weights,
+                                 like={"vad": params["vad"]})
+            params["vad"] = loaded["vad"]
+        logging.info("loaded Silero VAD weights from %s",
+                     settings.vad_weights)
+
     if vocab is None:
         size = (cfg.rnnt.vocab_size if cfg.model_kind == "rnnt"
                 else cfg.asr.encoder.vocab_size)
@@ -95,7 +116,9 @@ def build_server(settings, max_slots=None):
         max_slots=max_slots or settings.max_active_connections,
         language=settings.language,
         rules=settings.endpoint_rules,
-        ngram_cost=settings.ngram_cost())
+        ngram_cost=settings.ngram_cost(),
+        en_beam_partials=settings.en_beam_partials,
+        en_beam_width=settings.en_beam_width)
 
     rescorer = None
     if settings.lexicon_path and settings.lm_path:
@@ -170,9 +193,11 @@ def main():
     parser.add_argument("--max-queue-size", type=int, default=32)
     parser.add_argument("--certificate", type=str, default=None)
     parser.add_argument("--doc-root", type=str, default=None)
+    parser.add_argument("--log-dir", type=str, default="logs")
     args = parser.parse_args()
 
-    logging.basicConfig(level=logging.INFO)
+    from asr_streaming_tpu.utils.logs import setup_logger
+    setup_logger(args.log_dir)   # rotating debug.log + INFO console
     settings = ServerSettings.load(args.config)
     if args.certificate:
         settings.certificate = args.certificate

@@ -75,9 +75,13 @@ class AsrMaster:
         async def pump_results():
             try:
                 async for msg in ws:
-                    out_queue.put_nowait(
-                        msg if isinstance(msg, bytes) else msg.encode())
-                    if msg == "__REQUEST_COMPLETED__":
+                    text = msg.decode() if isinstance(msg, bytes) else msg
+                    out_queue.put_nowait(text.encode())
+                    # completion arrives as a JSON result whose
+                    # message_type is __REQUEST_COMPLETED__ (protocol.py);
+                    # a bytes/str-mismatched == here used to keep the pump
+                    # alive until connection close
+                    if "__REQUEST_COMPLETED__" in text:
                         break
             except websockets.exceptions.ConnectionClosed:
                 pass

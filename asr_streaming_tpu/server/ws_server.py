@@ -231,7 +231,14 @@ class StreamingServer:
             while stream.has_chunk() or \
                     getattr(stream, "_slot", None) in \
                     self.scheduler.pending_slots:
-                await asyncio.sleep(0.002)
+                # wake once per tick instead of busy-polling (the 2 ms
+                # sleep loop degraded under load); the sleep fallback only
+                # applies when no tick loop is running (unit tests)
+                if self._tick_boundary is not None:
+                    async with self._tick_boundary:
+                        await self._tick_boundary.wait()
+                else:
+                    await asyncio.sleep(0.002)
             if stream.buffer.size <= stream.audio.buffer_length:
                 break   # only carried context left — nothing undecoded
             stream.add_tail_padding()

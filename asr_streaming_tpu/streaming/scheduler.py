@@ -55,7 +55,9 @@ class Scheduler:
                  language: str = "vi",
                  rules: Optional[dict] = None,
                  ngram_cost: Optional[NgramEndpointCost] = None,
-                 donate_state: bool = True):
+                 donate_state: bool = True,
+                 en_beam_partials: bool = False,
+                 en_beam_width: int = 10):
         self.params = params
         self.cfg = cfg
         self.vocab = list(vocab)
@@ -63,6 +65,30 @@ class Scheduler:
         self.language = language
         self.rules = rules
         self.ngram_cost = ngram_cost
+
+        # EN opt-in: run the carried-hypothesis beam search on EVERY
+        # chunk (the reference's pattern, streaming_server.py:445) instead
+        # of device-greedy partials + beam-rescored finals.  Unlike the
+        # reference — which appends token_processor(full hypothesis
+        # tokens) each chunk, duplicating text (stream.py:117 +
+        # recognition.py:133 return cumulative tokens) — partials here are
+        # true deltas of the best hypothesis's text.
+        self.en_beam_partials = en_beam_partials and cfg.model_kind == "rnnt"
+        self._beam = None
+        self._fetch_chunk = None
+        if self.en_beam_partials:
+            from asr_streaming_tpu.models.rnnt import RNNTBeamDecoder
+            self._beam = RNNTBeamDecoder(params, cfg.rnnt,
+                                         beam_width=en_beam_width)
+            U = cfg.rnnt.emformer.segment_length
+
+            @jax.jit
+            def fetch_chunk(buf, slot, pos):
+                return jax.lax.dynamic_slice(
+                    buf, (slot, pos, 0),
+                    (1, U, buf.shape[2]))[0].astype(jnp.float32)
+
+            self._fetch_chunk = fetch_chunk
 
         self.device_state = init_serving_state(cfg, max_slots)
         self.is_rnnt = cfg.model_kind == "rnnt"
@@ -182,6 +208,7 @@ class Scheduler:
         t0 = time.perf_counter()
 
         # ---- phase 1: gather + async upload
+        t_gather = time.perf_counter()
         ready = [(slot, s) for slot, s in self.streams.items()
                  if s.has_chunk()]
         seg_dev = None
@@ -201,6 +228,8 @@ class Scheduler:
                 np.clip(self._seg_f32, -32768, 32767, out=self._seg_f32)
                 staging[:] = self._seg_f32.astype(np.int16)
             seg_dev = jnp.asarray(staging)      # async H2D copy starts
+            self.timers.observe("gather_upload",
+                                time.perf_counter() - t_gather)
 
         # ---- phase 2: harvest the previous batch
         events: List[StreamEvent] = []
@@ -250,13 +279,38 @@ class Scheduler:
         for slot, s in ready:
             if decoded[slot]:
                 if self.is_rnnt:
-                    toks = [int(t) for t in data[slot] if t != blank]
-                    delta = detokenize_pieces(toks, self.vocab,
-                                              lstrip=False)
-                    s.apply_decode_en(
-                        delta, trail[slot], lead[slot],
-                        enc_frames=self.cfg.rnnt.emformer.segment_length)
-                    partial_update[slot] = bool(delta.strip())
+                    U = self.cfg.rnnt.emformer.segment_length
+                    if self.en_beam_partials:
+                        # carried-hypothesis beam on every chunk over the
+                        # device-buffered transcriber encodings (the
+                        # reference's pattern, streaming_server.py:445)
+                        enc = np.asarray(self._fetch_chunk(
+                            self.emission_buf, jnp.int32(slot),
+                            jnp.int32(s.emission_length)))
+                        prev = s.transcript_internal
+                        try:
+                            s.hypotheses = self._beam.step_chunk(
+                                enc, getattr(s, "hypotheses", None))
+                            full = detokenize_pieces(
+                                s.hypotheses[0].tokens, self.vocab,
+                                lstrip=False)
+                        except Exception:
+                            # the reference's IndexError -> hypothesis
+                            # reset (streaming_server.py:457-463)
+                            s.hypotheses = None
+                            full = prev
+                        delta = (full[len(prev):]
+                                 if full.startswith(prev) else full)
+                        s.apply_decode_en(delta, trail[slot], lead[slot],
+                                          enc_frames=U, full_text=full)
+                        partial_update[slot] = full != prev
+                    else:
+                        toks = [int(t) for t in data[slot] if t != blank]
+                        delta = detokenize_pieces(toks, self.vocab,
+                                                  lstrip=False)
+                        s.apply_decode_en(delta, trail[slot], lead[slot],
+                                          enc_frames=U)
+                        partial_update[slot] = bool(delta.strip())
                 else:
                     s.apply_decode(data[slot])
                     partial_update[slot] = True
@@ -266,6 +320,12 @@ class Scheduler:
             is_final, utt_len = s.check_endpoint(advance=False)
             if is_final:
                 self._needs_reset[slot] = True  # state_init on next tick
+                if self.en_beam_partials:
+                    # new segment starts a fresh hypothesis (the reference
+                    # leaves this commented out, streaming_server.py:549,
+                    # letting text accumulate across segments — a bug we
+                    # do not replicate)
+                    s.hypotheses = None
                 emission_len = s.emission_length
                 seg = s.take_final_segment(utt_len)
                 if emission_len > 0:

@@ -140,7 +140,9 @@ class Stream:
         self.trailing_blank_duration += self.audio.segment_seconds
         self.chunk_processed += 1
         self.chunk_processed_total += 1
-        if self.emission_length != 0:
+        # offset drives vi word-alignment timestamps (reference
+        # stream.py:186-187); EN geometry has bias=0 and no alignments
+        if self.emission_length != 0 and self.audio.bias > 0:
             self.offset += self.audio.segment_size // self.audio.bias
 
     def apply_decode(self, argmax: np.ndarray,
@@ -176,15 +178,22 @@ class Stream:
 
     def apply_decode_en(self, text_delta: str, trail_silence: float,
                         lead_silence: float = 0.0,
-                        enc_frames: int = 0) -> str:
+                        enc_frames: int = 0,
+                        full_text: Optional[str] = None) -> str:
         """EN/RNNT chunk outcome: incremental transcript deltas + Silero
         timing (reference streaming_server.py:444-455 + stream.py:114-125).
         enc_frames counts device-buffered transcriber encodings (for the
-        host beam rescore at finals)."""
+        host beam rescore at finals).  full_text (beam-partials mode)
+        REPLACES the running transcript — the carried-hypothesis beam may
+        revise earlier tokens, so the authoritative text is the best
+        hypothesis's full decode, not an append."""
         if text_delta.strip() and not self.transcript_internal:
             self.segment_start = lead_silence
         self.emission_length += enc_frames
-        self.transcript_internal += text_delta
+        if full_text is not None:
+            self.transcript_internal = full_text
+        else:
+            self.transcript_internal += text_delta
         self.chunk_processed += 1
         self.chunk_processed_total += 1
         if text_delta:

@@ -159,3 +159,38 @@ def encode_test_model(tensors: Dict[str, np.ndarray]) -> bytes:
         t += ld(9, arr.tobytes())
         inits += ld(5, t)       # GraphProto.initializer
     return ld(7, inits)          # ModelProto.graph
+
+
+def convert_silero(onnx_path: str, out_path: str) -> dict:
+    """silero_vad.onnx (v5) -> framework npz for the serving VAD
+    (models/vad.py, server config key ``vad_weights``)."""
+    from asr_streaming_tpu.models.vad import (
+        SileroConfig, silero_params_from_onnx,
+    )
+    from asr_streaming_tpu.utils.checkpoint import save_params
+
+    inits = load_onnx_initializers(onnx_path)
+    params = silero_params_from_onnx(inits, SileroConfig())
+    save_params(out_path, {"vad": params})
+    return params
+
+
+def main():
+    import argparse
+    parser = argparse.ArgumentParser(
+        description="Extract/convert ONNX weights (Silero VAD).")
+    parser.add_argument("onnx")
+    parser.add_argument("output", help=".npz output")
+    parser.add_argument("--list", action="store_true",
+                        help="only list initializer names/shapes")
+    args = parser.parse_args()
+    if args.list:
+        for name, arr in sorted(load_onnx_initializers(args.onnx).items()):
+            print(f"{name:60s} {arr.shape} {arr.dtype}")
+        return
+    convert_silero(args.onnx, args.output)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <fstream>
 #include <memory>
@@ -372,8 +373,18 @@ class Decoder {
   static std::string EscapeJson(const std::string& s) {
     std::string out;
     for (char c : s) {
-      if (c == '"' || c == '\\') out += '\\';
-      if ((unsigned char)c >= 0x20 || (unsigned char)c > 127) out += c;
+      unsigned char u = (unsigned char)c;
+      if (c == '"' || c == '\\') {
+        out += '\\';
+        out += c;
+      } else if (u < 0x20) {
+        // control characters must be \u-escaped, not dropped
+        char buf[8];
+        std::snprintf(buf, sizeof buf, "\\u%04x", u);
+        out += buf;
+      } else {
+        out += c;  // includes UTF-8 continuation bytes (>127)
+      }
     }
     return out;
   }

@@ -19,7 +19,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compilation cache: repeat test runs skip recompiles
-from asr_streaming_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
-
-enable_compile_cache(os.path.expanduser("~/.cache/asr_streaming_tpu/xla-test"))
+# NOTE: the persistent compilation cache is NOT enabled for CPU test runs:
+# XLA:CPU AOT entries bake in host CPU features, and this environment's
+# sandboxed shells present varying feature sets (risk of SIGILL on load).
+# TPU entries (server/bench) are device-targeted and safe to cache.

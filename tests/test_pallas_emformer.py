@@ -1,0 +1,79 @@
+"""Fused Pallas Emformer layer kernel vs the XLA oracle.
+
+The kernel (ops/pallas_emformer.py) must reproduce models/emformer.py's
+_layer_step — including the validity masks driven by the per-stream
+length counters, the summary-row rule, the memory tanh, and the state
+roll — for both the vi geometry (memory on) and the EN geometry
+(memory off).  Runs in interpreter mode on CPU; the TPU path is
+exercised by the serving configs + bench.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asr_streaming_tpu.models.emformer import (
+    EmformerConfig, emformer_stream_step, init_emformer_params,
+    init_emformer_state,
+)
+
+VI_CFG = EmformerConfig(
+    d_model=64, num_heads=4, ffn_dim=96, num_layers=3, segment_length=8,
+    left_context_length=16, right_context_length=2, max_memory_size=4)
+EN_CFG = EmformerConfig(
+    d_model=64, num_heads=4, ffn_dim=96, num_layers=3, segment_length=4,
+    left_context_length=10, right_context_length=1, max_memory_size=0)
+
+
+def _run_steps(cfg, n_steps=4, B=4, seed=0, dtype=jnp.float32):
+    cfg = dataclasses.replace(cfg, compute_dtype=dtype)
+    params = init_emformer_params(jax.random.PRNGKey(seed), cfg)
+    state = init_emformer_state(cfg, B)
+    rng = np.random.default_rng(seed)
+    ys = []
+    for _ in range(n_steps):
+        x = jnp.asarray(rng.standard_normal(
+            (B, cfg.segment_length + cfg.right_context_length,
+             cfg.d_model)), jnp.float32)
+        y, state = emformer_stream_step(params, cfg, x, state)
+        ys.append(np.asarray(y, np.float32))
+    return np.stack(ys), jax.tree.map(
+        lambda a: np.asarray(a, np.float32), state)
+
+
+@pytest.mark.parametrize("base", [VI_CFG, EN_CFG], ids=["vi_mem", "en_nomem"])
+def test_fused_layer_matches_oracle_fp32(base):
+    """fp32: the kernel and the XLA path agree to numerical noise across
+    multiple steps (masks evolve as length grows from 0)."""
+    ys_ref, st_ref = _run_steps(base)
+    fused = dataclasses.replace(base, use_pallas_layer=True, pallas_tile=2)
+    ys_ker, st_ker = _run_steps(fused)
+    np.testing.assert_allclose(ys_ker, ys_ref, rtol=2e-5, atol=2e-5)
+    for a, b, name in [(st_ker.mem, st_ref.mem, "mem"),
+                       (st_ker.lc_k, st_ref.lc_k, "lc_k"),
+                       (st_ker.lc_v, st_ref.lc_v, "lc_v")]:
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5, err_msg=name)
+    np.testing.assert_array_equal(st_ker.length, st_ref.length)
+
+
+def test_fused_layer_matches_oracle_bf16():
+    """bf16 (the serving dtype): same rounding decisions as the oracle up
+    to bf16-scale tolerance."""
+    ys_ref, _ = _run_steps(VI_CFG, dtype=jnp.bfloat16)
+    fused = dataclasses.replace(VI_CFG, use_pallas_layer=True,
+                                pallas_tile=4)
+    ys_ker, _ = _run_steps(fused, dtype=jnp.bfloat16)
+    np.testing.assert_allclose(ys_ker, ys_ref, rtol=3e-2, atol=3e-2)
+
+
+def test_fused_layer_uneven_batch_tile():
+    """B not a multiple of the tile: falls back to the largest divisor."""
+    fused = dataclasses.replace(VI_CFG, use_pallas_layer=True,
+                                pallas_tile=4)
+    ys_ref, _ = _run_steps(VI_CFG, B=6)
+    ys_ker, _ = _run_steps(fused, B=6)
+    np.testing.assert_allclose(ys_ker, ys_ref, rtol=2e-5, atol=2e-5)

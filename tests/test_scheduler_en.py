@@ -74,3 +74,60 @@ def test_en_batch_invariance():
         per[e.stream_id].append((e.kind, e.text))
     for i in range(2):
         assert per[f"b{i}"] == solo[i]
+
+
+def make_en_beam_scheduler(max_slots=2, seed=0, width=4):
+    import dataclasses
+    asr = dataclasses.replace(ASRConfig.tiny(), audio=EN_AUDIO)
+    cfg = ServingConfig(asr=asr, model_kind="rnnt", rnnt=RNNT_CFG,
+                        use_silero=False)
+    params = init_serving_params(jax.random.PRNGKey(seed), cfg)
+    return Scheduler(params, cfg, PIECES, max_slots=max_slots,
+                     language="en", rules=FLUSH_RULES,
+                     en_beam_partials=True, en_beam_width=width)
+
+
+def test_en_beam_partials_carry_hypothesis():
+    """Opt-in per-chunk beam mode (the reference's pattern,
+    streaming_server.py:445): the hypothesis carries across >=3 chunks,
+    partial text tracks the best hypothesis, and finals reset it."""
+    from asr_streaming_tpu.models.rnnt import detokenize_pieces
+
+    sched = make_en_beam_scheduler()
+    s = sched.admit("en0")
+    s.accept_waveform(speechy(1.2, seed=5))
+    token_counts = []
+    while sched.has_work():
+        events = sched.tick()
+        hyp = getattr(s, "hypotheses", None)
+        if hyp:
+            token_counts.append(len(hyp[0].tokens))
+            # partial text == detokenized best hypothesis
+            want = detokenize_pieces(hyp[0].tokens, PIECES, lstrip=False)
+            for e in events:
+                if not e.is_final and e.stream_id == "en0":
+                    assert e.text == want
+    # hypothesis carried (token count never shrinks mid-segment) over
+    # >= 3 decoded chunks
+    assert len(token_counts) >= 3
+    assert all(b >= a for a, b in zip(token_counts, token_counts[1:]))
+
+    s.accept_waveform(np.zeros(16000, np.float32))   # force a final
+    events = sched.drain()
+    if any(e.is_final for e in events):
+        assert getattr(s, "hypotheses", None) is None
+
+
+def test_en_beam_partials_matches_final_quality():
+    """Beam-partials mode still produces a final per endpoint and the
+    final text equals the last partial (transcript_internal snapshot)."""
+    sched = make_en_beam_scheduler(seed=1)
+    s = sched.admit("en0")
+    s.accept_waveform(speechy(1.5, seed=2))
+    s.accept_waveform(np.zeros(16000, np.float32))
+    events = sched.drain()
+    finals = [e for e in events if e.is_final]
+    assert len(finals) >= 1
+    partial_texts = [e.text for e in events if not e.is_final]
+    if partial_texts and finals[0].text:
+        assert finals[0].text == partial_texts[-1]

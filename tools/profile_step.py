@@ -57,8 +57,17 @@ def main():
     B = args.slots
     rng = np.random.default_rng(0)
 
-    for unroll in [int(v) for v in args.variants.split(",")]:
-        cfg = EmformerConfig(compute_dtype=jnp.bfloat16, scan_unroll=unroll)
+    for variant in args.variants.split(","):
+        if variant.startswith("pallas"):
+            tile = int(variant.split(":")[1]) if ":" in variant else 64
+            cfg = EmformerConfig(compute_dtype=jnp.bfloat16,
+                                 use_pallas_layer=True, pallas_tile=tile,
+                                 scan_unroll=20)
+            label = f"pallas tile={tile}"
+        else:
+            cfg = EmformerConfig(compute_dtype=jnp.bfloat16,
+                                 scan_unroll=int(variant))
+            label = f"scan_unroll={variant}"
         params = init_emformer_params(jax.random.PRNGKey(0), cfg)
         state = init_emformer_state(cfg, B)
         x = jnp.asarray(rng.standard_normal(
@@ -69,7 +78,7 @@ def main():
         jax.block_until_ready(step(x, state))
         compile_s = time.perf_counter() - t0
         ms = timeit_chained(step, x, state)
-        print(f"scan_unroll={unroll:<3d} B={B}: {ms:8.2f} ms/step "
+        print(f"{label:18s} B={B}: {ms:8.2f} ms/step "
               f"(compile {compile_s:.0f}s)")
 
 
