@@ -111,14 +111,21 @@ def build_server(settings, max_slots=None):
         vocab = placeholder_vocab(size)
         logging.warning("no corpus vocab found — using placeholder vocab")
 
-    scheduler = Scheduler(
-        params, cfg, vocab,
-        max_slots=max_slots or settings.max_active_connections,
+    slots = max_slots or settings.max_active_connections
+    sched_kwargs = dict(
         language=settings.language,
         rules=settings.endpoint_rules,
         ngram_cost=settings.ngram_cost(),
         en_beam_partials=settings.en_beam_partials,
         en_beam_width=settings.en_beam_width)
+    if settings.scheduler_groups > 1:
+        from asr_streaming_tpu.streaming.scheduler import GroupedScheduler
+        scheduler = GroupedScheduler(
+            params, cfg, vocab, max_slots=slots,
+            groups=settings.scheduler_groups, **sched_kwargs)
+    else:
+        scheduler = Scheduler(params, cfg, vocab, max_slots=slots,
+                              **sched_kwargs)
 
     rescorer = None
     if settings.lexicon_path and settings.lm_path:

@@ -51,6 +51,9 @@ class ServerSettings:
         default_factory=lambda: VI_DEFAULT_RULES)
     use_silero: bool = True
     upload_encoding: str = "mulaw"   # "int16" | "mulaw" (halved tick bytes)
+    scheduler_groups: int = 1        # slot groups ticked round-robin;
+                                     # raise on low-RTT (local PCIe) hosts
+                                     # for lower per-chunk latency
     en_beam_partials: bool = False   # EN: carried-hypothesis beam per chunk
     en_beam_width: int = 10
     lm_weight: float = 1.0
@@ -79,7 +82,7 @@ class ServerSettings:
                     "lexicon_path", "lm_path", "lm_endpointing_path",
                     "vad_weights", "doc_root", "certificate", "speaker_wav",
                     "use_silero", "upload_encoding", "en_beam_partials",
-                    "en_beam_width",
+                    "en_beam_width", "scheduler_groups",
                     "lm_weight", "beam_size", "beam_size_token",
                     "beam_threshold", "word_score",
                     "max_active_connections"):

@@ -229,8 +229,7 @@ class StreamingServer:
         # enough because the buffer may still hold whole chunks then)
         for _ in range(4):
             while stream.has_chunk() or \
-                    getattr(stream, "_slot", None) in \
-                    self.scheduler.pending_slots:
+                    self.scheduler.is_pending(stream):
                 # wake once per tick instead of busy-polling (the 2 ms
                 # sleep loop degraded under load); the sleep fallback only
                 # applies when no tick loop is running (unit tests)

@@ -215,18 +215,23 @@ class Scheduler:
         if ready:
             staging = self._segment[self._staging_idx]
             self._staging_idx ^= 1
+            for slot, s in ready:
+                self._seg_f32[slot] = s.pop_chunk()
+            # native single-pass encode (a few ms); numpy fallback is
+            # bit-identical (models/serving.py mulaw LUT / int16 clip)
+            from asr_streaming_tpu.utils import codec_native
             if self._mulaw:
-                from asr_streaming_tpu.models.serving import \
-                    mulaw_encode_host
-                for slot, s in ready:
-                    self._seg_f32[slot] = s.pop_chunk()
-                staging[:] = mulaw_encode_host(self._seg_f32)
+                if not codec_native.mulaw_encode_into(self._seg_f32,
+                                                      staging):
+                    from asr_streaming_tpu.models.serving import \
+                        mulaw_encode_host
+                    staging[:] = mulaw_encode_host(self._seg_f32)
             else:
-                for slot, s in ready:
-                    seg = s.pop_chunk()
-                    np.multiply(seg, 32767.0, out=self._seg_f32[slot])
-                np.clip(self._seg_f32, -32768, 32767, out=self._seg_f32)
-                staging[:] = self._seg_f32.astype(np.int16)
+                if not codec_native.pcm16_encode_into(self._seg_f32,
+                                                      staging):
+                    scaled = np.clip(self._seg_f32 * 32767.0,
+                                     -32768, 32767)
+                    staging[:] = scaled.astype(np.int16)
             seg_dev = jnp.asarray(staging)      # async H2D copy starts
             self.timers.observe("gather_upload",
                                 time.perf_counter() - t_gather)
@@ -255,6 +260,13 @@ class Scheduler:
                 seg_dev, jnp.asarray(contain), jnp.asarray(active),
                 jnp.asarray(self._new_stream),
                 jnp.asarray(self._needs_reset))
+            # start the pack's D2H now: by next tick the bytes are already
+            # host-side and the harvest np.asarray is a local copy instead
+            # of a device round trip on the critical path
+            try:
+                out.pack.copy_to_host_async()
+            except AttributeError:
+                pass
             self._needs_reset[:] = False
             self._new_stream[:] = False
             self._pending = (out, ready, t_dispatch)
@@ -353,8 +365,118 @@ class Scheduler:
                               sum(1 for e in events if e.is_final))
         return events
 
+    def is_pending(self, stream: Stream) -> bool:
+        """Is this stream's chunk in the in-flight (pipelined) batch?"""
+        return getattr(stream, "_slot", None) in self.pending_slots
+
     def drain(self, max_ticks: int = 10_000) -> List[StreamEvent]:
         """Run ticks until no stream has a ready chunk."""
+        events: List[StreamEvent] = []
+        for _ in range(max_ticks):
+            if not self.has_work():
+                break
+            events.extend(self.tick())
+        return events
+
+
+class GroupedScheduler:
+    """N slot groups ticked round-robin: the latency-oriented serving mode.
+
+    One monolithic tick moves EVERY stream's audio and blocks events for
+    a full 512-slot cycle; per-chunk latency is ~2 ticks.  Splitting the
+    slots into G independent groups (each its own device state + pipelined
+    Scheduler, all sharing one compiled step shape) shrinks the unit of
+    work: a chunk waits at most one small group-tick to be gathered and
+    surfaces two group-ticks later, while the groups' host work and
+    device steps interleave on the single chip.  Throughput is unchanged
+    (same total device work per 0.64 s); p50 latency drops by ~G.
+
+    The reference has no equivalent — its per-connection inline pipeline
+    (streaming_server.py:371-572) serializes every stream through one
+    event loop.
+    """
+
+    def __init__(self, params: dict, cfg: ServingConfig,
+                 vocab: Sequence[str], max_slots: int = 512,
+                 groups: int = 4, **kwargs):
+        groups = max(1, min(groups, max_slots))
+        per = -(-max_slots // groups)          # ceil; capacity >= max_slots
+        self.groups = [Scheduler(params, cfg, vocab, max_slots=per,
+                                 **kwargs) for _ in range(groups)]
+        self.cfg = cfg
+        self.vocab = self.groups[0].vocab
+        self.language = self.groups[0].language
+        self.max_slots = per * groups
+        self._next = 0
+
+    # -------------------------------------------------- scheduler surface
+
+    @property
+    def num_active(self) -> int:
+        return sum(g.num_active for g in self.groups)
+
+    @property
+    def ticks(self) -> int:
+        return sum(g.ticks for g in self.groups)
+
+    @property
+    def timers(self):
+        outer = self
+
+        class _Merged:
+            def snapshot(self):
+                snaps = [g.timers.snapshot() for g in outer.groups]
+                out = snaps[0]
+                for s in snaps[1:]:
+                    for k, v in s["counters"].items():
+                        out["counters"][k] = out["counters"].get(k, 0) + v
+                return out
+
+        return _Merged()
+
+    def warmup(self) -> float:
+        # one compile serves all groups (identical shapes); warm each
+        # group's pipeline anyway
+        total = 0.0
+        for g in self.groups:
+            total += g.warmup()
+        return total
+
+    def admit(self, stream_id: str) -> Optional[Stream]:
+        # least-loaded group keeps batches balanced
+        for g in sorted(self.groups, key=lambda g: g.num_active):
+            s = g.admit(stream_id)
+            if s is not None:
+                s._group = g
+                return s
+        return None
+
+    def release(self, stream: Stream) -> None:
+        getattr(stream, "_group", self.groups[0]).release(stream)
+
+    def is_pending(self, stream: Stream) -> bool:
+        g = getattr(stream, "_group", None)
+        return g.is_pending(stream) if g is not None else False
+
+    def has_work(self) -> bool:
+        return any(g.has_work() for g in self.groups)
+
+    def tick(self) -> List[StreamEvent]:
+        """Tick ONE group — the next (round-robin) group that actually
+        has work (ready chunks or an in-flight batch to harvest).  Under
+        real-time load the tick loop is not saturated, so demand-driven
+        selection is what bounds a chunk's wait to ~one group-tick."""
+        n = len(self.groups)
+        for k in range(n):
+            g = self.groups[(self._next + k) % n]
+            if g.has_work():
+                self._next = (self._next + k + 1) % n
+                return g.tick()
+        g = self.groups[self._next]
+        self._next = (self._next + 1) % n
+        return g.tick()
+
+    def drain(self, max_ticks: int = 10_000) -> List[StreamEvent]:
         events: List[StreamEvent] = []
         for _ in range(max_ticks):
             if not self.has_work():

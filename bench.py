@@ -1,35 +1,41 @@
 #!/usr/bin/env python
 """Headline benchmark: concurrent RTF<=1 streams per TPU chip, end-to-end.
 
-Measures the steady-state latency of a full scheduler tick at 512 slots —
-the fused device step (log-mel + VAD + 20-layer streaming Emformer + CTC +
-greedy, bf16, Vietnamese production geometry) PLUS the packed device->host
-transfer and all host-side per-stream state machines (greedy text, offset
-arithmetic, endpointing).  Each stream needs one chunk every 0.64 s
-(reference cadence, asr-online.yaml:112-118), so
+Two phases on the real chip, full production vi path (log-mel + Silero-
+shaped VAD + 20-layer streaming Emformer via the fused Pallas layer
+kernel + CTC + greedy, bf16, real 804-token corpus vocab, mu-law upload,
+grouped continuous-batching scheduler):
 
-    streams = slots * (0.64 / tick_seconds)
+  A. saturated throughput — every slot busy, demand-driven group ticks;
+     streams = slots * 0.64 / median full-service round.
+  B. paced real-time latency — all slots fed one chunk per 0.64 s with
+     staggered arrivals (the reference's own client harness pacing,
+     test/asr_test.py:39-65); per-chunk latency is measured from
+     chunk-ready to event-emitted, NOT estimated.
 
 Baseline: the reference's per-worker admission cap of 500 concurrent
-connections on a 12-CPU + 1-GPU container (streaming_server.py:78-86,
-docker-compose.yml:23-32); BASELINE.md north star: >=500 streams/chip,
-p50 per-chunk latency < 100 ms.
+connections (streaming_server.py:78-86, docker-compose.yml:23-32);
+BASELINE.md north star: >=500 streams/chip, p50 per-chunk < 100 ms.
 
 Prints ONE JSON line.
 """
 
 import json
 import time
+from collections import deque
 
 import numpy as np
 
 TICK_SECONDS = 0.64
 BASELINE_STREAMS = 500.0
 SLOTS = 512
-# the host<->device tunnel throughput fluctuates heavily between runs;
-# measure many ticks and take the median
-MEASURE_TICKS = 24
-WARMUP_TICKS = 3
+# Slot groups: >1 shrinks per-chunk latency when the host<->device link
+# is local (PCIe); on this remote tunnel the per-tick round-trip cost
+# dominates small ticks (measured: 4 groups = 817 streams / p50 834 ms
+# vs monolithic 1899 streams), so the bench runs monolithic ticks.
+GROUPS = 1
+ROUNDS_A = 16          # full-service rounds in the throughput phase
+SECONDS_B = 10.0       # paced-load latency phase duration
 
 
 def main():
@@ -41,7 +47,7 @@ def main():
     from asr_streaming_tpu.models.serving import (
         ServingConfig, init_serving_params,
     )
-    from asr_streaming_tpu.streaming.scheduler import Scheduler
+    from asr_streaming_tpu.streaming.scheduler import GroupedScheduler
     from asr_streaming_tpu.text.corpus import load_corpus
     from asr_streaming_tpu.text.vocab import placeholder_vocab
     from asr_streaming_tpu.utils.compile_cache import enable_compile_cache
@@ -58,41 +64,69 @@ def main():
         asr_cfg = dataclasses.replace(
             asr_cfg, encoder=dataclasses.replace(asr_cfg.encoder,
                                                  vocab_size=len(vocab)))
-    # mu-law upload halves the host->device audio bytes — the tick is
-    # upload-bandwidth-bound on the thin tunnel link (greedy-token
-    # equivalence at G.711 fidelity is covered by tests/test_mulaw.py).
-    # The fused Pallas layer kernel runs the Emformer (19.6 ms/step vs
-    # 36.0 XLA at 512 slots; tests/test_pallas_emformer.py is the oracle).
     asr_cfg = with_pallas_layer(asr_cfg)
     cfg = ServingConfig(asr=asr_cfg, use_silero=True,
                         upload_encoding="mulaw")
     params = init_serving_params(jax.random.PRNGKey(0), cfg)
-    sched = Scheduler(params, cfg, vocab, max_slots=SLOTS)
+    sched = GroupedScheduler(params, cfg, vocab, max_slots=SLOTS,
+                             groups=GROUPS)
 
-    t0 = time.time()
     compile_s = sched.warmup()
 
-    # fill every slot with a real-time speechy stream
     rng = np.random.default_rng(0)
-    audio = (rng.standard_normal(
-        int(16000 * (MEASURE_TICKS + 4) * TICK_SECONDS)) * 0.25
-    ).astype(np.float32)
+    chunk_samples = int(16000 * TICK_SECONDS)
+
+    # ---------------- phase A: saturated throughput
+    audio = (rng.standard_normal(chunk_samples * (ROUNDS_A + 3)) * 0.25
+             ).astype(np.float32)
     streams = []
     for i in range(SLOTS):
         s = sched.admit(f"bench{i}")
         s.accept_waveform(audio)
         streams.append(s)
-
-    for _ in range(WARMUP_TICKS):
+    # warmup rounds
+    for _ in range(3 * GROUPS):
         sched.tick()
-    times = []
-    for _ in range(MEASURE_TICKS):
-        t1 = time.perf_counter()
+    t0 = time.perf_counter()
+    n_ticks = ROUNDS_A * GROUPS
+    for _ in range(n_ticks):
         sched.tick()
-        times.append(time.perf_counter() - t1)
-    tick_seconds = float(np.median(times))
+    round_seconds = (time.perf_counter() - t0) / ROUNDS_A
+    sched.drain()
 
-    streams_rtf1 = int(SLOTS * TICK_SECONDS / tick_seconds)
+    streams_rtf1 = int(SLOTS * TICK_SECONDS / round_seconds)
+
+    # ---------------- phase B: paced real-time latency
+    chunk = (rng.standard_normal(chunk_samples) * 0.25).astype(np.float32)
+    n_rounds = int(SECONDS_B / TICK_SECONDS)
+    start = time.perf_counter() + 0.05
+    arrivals = sorted(
+        (start + k * TICK_SECONDS + (i / SLOTS) * TICK_SECONDS, i)
+        for k in range(n_rounds) for i in range(SLOTS))
+    ready: list = [deque() for _ in range(SLOTS)]
+    latencies = []
+    ai = 0
+    deadline = start + SECONDS_B + 3.0
+    while (ai < len(arrivals) or sched.has_work()) and \
+            time.perf_counter() < deadline:
+        now = time.perf_counter()
+        while ai < len(arrivals) and arrivals[ai][0] <= now:
+            t_ready, i = arrivals[ai]
+            ai += 1
+            streams[i].accept_waveform(chunk)
+            ready[i].append(t_ready)
+        if sched.has_work():
+            events = sched.tick()
+            t_ev = time.perf_counter()
+            for e in events:
+                idx = int(e.stream_id[5:])
+                if ready[idx]:
+                    latencies.append(t_ev - ready[idx].popleft())
+        else:
+            time.sleep(0.001)
+
+    lat = np.asarray(latencies) * 1e3 if latencies else np.asarray([0.0])
+
     result = {
         "metric": "concurrent_rtf1_streams_per_chip",
         "value": streams_rtf1,
@@ -100,15 +134,19 @@ def main():
         "vs_baseline": round(streams_rtf1 / BASELINE_STREAMS, 3),
         "extra": {
             "slots": SLOTS,
-            "tick_ms_e2e": round(tick_seconds * 1e3, 2),
-            # the scheduler is pipelined (results surface one tick later),
-            # so per-chunk event latency ~= 2 ticks
-            "p50_chunk_latency_ms": round(2 * tick_seconds * 1e3, 2),
+            "scheduler_groups": GROUPS,
+            "full_service_round_ms": round(round_seconds * 1e3, 2),
+            "p50_chunk_latency_ms": round(float(np.percentile(lat, 50)), 2),
+            "p95_chunk_latency_ms": round(float(np.percentile(lat, 95)), 2),
+            "latency_samples": len(latencies),
+            "latency_mode": "measured under paced RTF=1 load at "
+                            f"{SLOTS} streams (chunk-ready -> event)",
             "compile_s": round(compile_s, 1),
             "tick_budget_ms": TICK_SECONDS * 1e3,
             "dtype": "bfloat16",
+            "vocab": len(vocab),
             "includes": "device step + host transfers + stream state "
-                        "machines (full pipelined scheduler tick)",
+                        "machines (full grouped scheduler)",
             "stage_p50_ms": {
                 k: v["p50_ms"] for k, v in
                 sched.timers.snapshot()["stages"].items()},

@@ -1,0 +1,100 @@
+"""GroupedScheduler: N slot groups, demand-driven round-robin ticks."""
+
+import numpy as np
+import jax
+
+from asr_streaming_tpu.models.asr import ASRConfig
+from asr_streaming_tpu.models.serving import (
+    ServingConfig, init_serving_params,
+)
+from asr_streaming_tpu.streaming.endpoint import EndpointRule
+from asr_streaming_tpu.streaming.scheduler import (
+    GroupedScheduler, Scheduler,
+)
+
+VOCAB = ["-", "|"] + [chr(ord("a") + i) for i in range(19)]
+FLUSH_RULES = {"flush": EndpointRule(True, 0.0, 1.9, float("inf"))}
+
+
+def make(groups=2, max_slots=4, seed=0, cls=GroupedScheduler):
+    cfg = ServingConfig(asr=ASRConfig.tiny(vocab_size=len(VOCAB)),
+                        use_silero=False)
+    params = init_serving_params(jax.random.PRNGKey(seed), cfg)
+    if cls is Scheduler:
+        return Scheduler(params, cfg, VOCAB, max_slots=max_slots,
+                         rules=FLUSH_RULES)
+    return GroupedScheduler(params, cfg, VOCAB, max_slots=max_slots,
+                            groups=groups, rules=FLUSH_RULES)
+
+
+def speechy(seconds, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(int(16000 * seconds)) * 0.3
+            ).astype(np.float32)
+
+
+def test_admission_balances_groups():
+    sched = make(groups=2, max_slots=4)
+    ss = [sched.admit(f"s{i}") for i in range(4)]
+    assert all(s is not None for s in ss)
+    loads = [g.num_active for g in sched.groups]
+    assert loads == [2, 2]
+    assert sched.admit("overflow") is None
+    assert sched.num_active == 4
+    sched.release(ss[0])
+    assert sched.num_active == 3
+    assert sched.admit("again") is not None
+
+
+def test_grouped_equals_monolithic_events():
+    """A stream decoded in a grouped scheduler yields exactly the events
+    a monolithic scheduler yields (groups are pure scheduling)."""
+    audio = [speechy(2.5, seed=i) for i in range(4)]
+
+    mono = make(cls=Scheduler, max_slots=4, seed=3)
+    mono_events = {}
+    ss = []
+    for i in range(4):
+        s = mono.admit(f"s{i}")
+        s.accept_waveform(audio[i])
+        ss.append(s)
+    for e in mono.drain():
+        mono_events.setdefault(e.stream_id, []).append((e.kind, e.text))
+
+    grouped = make(groups=2, max_slots=4, seed=3)
+    grouped_events = {}
+    for i in range(4):
+        s = grouped.admit(f"s{i}")
+        s.accept_waveform(audio[i])
+    for e in grouped.drain():
+        grouped_events.setdefault(e.stream_id, []).append((e.kind, e.text))
+
+    assert grouped_events == mono_events
+
+
+def test_demand_driven_tick_skips_idle_groups():
+    sched = make(groups=2, max_slots=4)
+    # only group 1 gets a stream with work
+    s0 = sched.admit("a")       # group with least load -> groups[0]
+    s1 = sched.admit("b")       # -> groups[1]
+    busy = s1._group
+    s1.accept_waveform(speechy(1.5))
+    # force round-robin pointer at the idle group
+    sched._next = sched.groups.index(s0._group)
+    ticked_before = busy.ticks
+    sched.tick()
+    assert busy.ticks == ticked_before + 1   # idle group was skipped
+
+
+def test_is_pending_and_flush_surface():
+    sched = make(groups=2, max_slots=4)
+    s = sched.admit("s0")
+    s.accept_waveform(speechy(1.0))
+    assert not sched.is_pending(s)
+    sched.tick()                # may dispatch s's chunk
+    # surfaces exist and don't throw
+    snap = sched.timers.snapshot()
+    assert "counters" in snap
+    assert sched.max_slots == 4
+    sched.drain()
+    assert not sched.is_pending(s)
