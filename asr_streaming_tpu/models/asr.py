@@ -84,16 +84,20 @@ def init_asr_state(cfg: ASRConfig, batch_size: int) -> EmformerState:
 
 
 def asr_stream_step(params: dict, cfg: ASRConfig, wave: jax.Array,
-                    state: EmformerState) -> StepOutput:
+                    state: EmformerState, reset=None,
+                    advance=None) -> StepOutput:
     """One decode step for a batch of streams.
 
     Args:
       wave: [B, chunk_length] float32 — carried context + new segment,
         exactly the server's ring-buffer window (vi: 13440 samples).
+      reset / advance: optional [B] slot lifecycle masks, applied inside
+        the encoder step (fused in VMEM on the Pallas path).
     """
     feats = log_mel(params["frontend"], cfg.mel, wave)
     log_probs, new_state = encoder_stream_step(
-        params["encoder"], cfg.encoder, feats, state)
+        params["encoder"], cfg.encoder, feats, state,
+        reset=reset, advance=advance)
     return StepOutput(
         log_probs=log_probs,
         argmax=jnp.argmax(log_probs, axis=-1).astype(jnp.int32),

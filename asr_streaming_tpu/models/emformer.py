@@ -193,7 +193,9 @@ def _activation(name: str):
 
 def _layer_step(cfg: EmformerConfig, p: dict, utt: jax.Array, rc: jax.Array,
                 mem_row: Optional[jax.Array], mem_state: jax.Array,
-                lc_k: jax.Array, lc_v: jax.Array, length: jax.Array):
+                lc_k: jax.Array, lc_v: jax.Array, length: jax.Array,
+                reset: Optional[jax.Array] = None,
+                advance: Optional[jax.Array] = None):
     """One Emformer layer, one streaming step.
 
     Args:
@@ -218,7 +220,7 @@ def _layer_step(cfg: EmformerConfig, p: dict, utt: jax.Array, rc: jax.Array,
         return fused_emformer_layer(
             p, utt.astype(jnp.float32), rc.astype(jnp.float32),
             None if mem_row is None else mem_row.astype(jnp.float32),
-            mem_state, lc_k, lc_v, length,
+            mem_state, lc_k, lc_v, length, reset, advance,
             U=U, R=R, M=M, Lc=Lc, H=H, use_mem=cfg.use_mem,
             tanh_on_mem=cfg.tanh_on_mem, neg_inf=cfg.negative_inf,
             activation=cfg.activation,
@@ -352,6 +354,8 @@ def _finish_layer_step(cfg: EmformerConfig, p: dict, out: jax.Array,
 
 def emformer_stream_step(
     params: dict, cfg: EmformerConfig, x: jax.Array, state: EmformerState,
+    reset: Optional[jax.Array] = None,
+    advance: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, EmformerState]:
     """One streaming step over all layers.
 
@@ -359,6 +363,12 @@ def emformer_stream_step(
       x: [B, U + R, D] — utterance frames followed by right-context frames
          (reference emformer.py:438-441 splits the chunk the same way).
       state: carried EmformerState.
+      reset: optional [B] bool — zero this slot's state before stepping.
+      advance: optional [B] bool — commit the stepped state; slots with
+        advance=False keep their (post-reset) previous state.
+      Passing the masks here lets the fused Pallas layer kernel apply them
+      IN VMEM, replacing the serving step's full-state jnp.where
+      traversals (2 x ~1.4 GB of HBM traffic at 512 slots).
     Returns:
       (y [B, U, D], new_state)
     """
@@ -366,15 +376,34 @@ def emformer_stream_step(
     R = cfg.right_context_length
     utt, rc = x[:, :U], x[:, U:U + R]
 
+    length = state.length
+    if reset is not None:
+        length = jnp.where(reset, 0, length)
+
+    fused_masks = cfg.use_pallas_layer and (reset is not None
+                                            or advance is not None)
+    if reset is not None and not fused_masks:
+        # XLA path: global pre-select (the serving step's _select_state)
+        zero = init_emformer_state(cfg, x.shape[0])
+        m4 = reset[None, :, None, None]
+        state = EmformerState(
+            mem=jnp.where(m4, zero.mem, state.mem),
+            lc_k=jnp.where(m4, zero.lc_k, state.lc_k),
+            lc_v=jnp.where(m4, zero.lc_v, state.lc_v),
+            length=length)
+
     # Initial memory row for layer 0: mean over the *raw* utterance
     # (reference emformer.py:442).
     mem_row = jnp.mean(utt, axis=1, keepdims=True) if cfg.use_mem else None
+
+    masks = (reset, advance) if fused_masks else (None, None)
 
     def body(carry, layer_in):
         utt, rc, mem_row = carry
         p, mem_s, lck_s, lcv_s = layer_in
         new_utt, new_rc, new_mem_row, nm, nk, nv = _layer_step(
-            cfg, p, utt, rc, mem_row, mem_s, lck_s, lcv_s, state.length)
+            cfg, p, utt, rc, mem_row, mem_s, lck_s, lcv_s, length,
+            reset=masks[0], advance=masks[1])
         return (new_utt, new_rc, new_mem_row), (nm, nk, nv)
 
     (y, _, _), (mem, lc_k, lc_v) = jax.lax.scan(
@@ -382,10 +411,18 @@ def emformer_stream_step(
         (params, state.mem, state.lc_k, state.lc_v),
         unroll=min(cfg.scan_unroll, cfg.num_layers))
 
-    new_state = EmformerState(
-        mem=mem, lc_k=lc_k, lc_v=lc_v,
-        length=state.length + jnp.int32(U),
-    )
+    new_length = length + jnp.int32(U)
+    if advance is not None:
+        new_length = jnp.where(advance, new_length, length)
+        if not fused_masks:
+            # XLA path: global post-select
+            m4 = advance[None, :, None, None]
+            mem = jnp.where(m4, mem, state.mem)
+            lc_k = jnp.where(m4, lc_k, state.lc_k)
+            lc_v = jnp.where(m4, lc_v, state.lc_v)
+
+    new_state = EmformerState(mem=mem, lc_k=lc_k, lc_v=lc_v,
+                              length=new_length)
     return y, new_state
 
 

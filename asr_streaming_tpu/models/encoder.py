@@ -93,6 +93,7 @@ def ctc_head(params: dict, cfg: EncoderConfig, enc: jax.Array) -> jax.Array:
 
 def encoder_stream_step(
     params: dict, cfg: EncoderConfig, feats: jax.Array, state: EmformerState,
+    reset=None, advance=None,
 ) -> Tuple[jax.Array, EmformerState]:
     """One streaming step.
 
@@ -108,7 +109,8 @@ def encoder_stream_step(
     assert x.shape[1] == em.segment_length + em.right_context_length, (
         f"chunk reduces to {x.shape[1]} frames, expected "
         f"{em.segment_length}+{em.right_context_length}")
-    enc, new_state = emformer_stream_step(params["emformer"], em, x, state)
+    enc, new_state = emformer_stream_step(params["emformer"], em, x, state,
+                                          reset=reset, advance=advance)
     return ctc_head(params, cfg, enc), new_state
 
 

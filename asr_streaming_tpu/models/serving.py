@@ -113,17 +113,9 @@ def init_serving_state(cfg: ServingConfig, max_slots: int) -> ServingState:
     return init_asr_state(cfg.asr, max_slots)
 
 
-def _select_state(mask: jax.Array, new: EmformerState,
-                  old: EmformerState) -> EmformerState:
-    """Per-slot state select; mask: [B] bool (batch is axis 1 for the
-    stacked layer tensors, axis 0 for length)."""
-    m4 = mask[None, :, None, None]
-    return EmformerState(
-        mem=jnp.where(m4, new.mem, old.mem),
-        lc_k=jnp.where(m4, new.lc_k, old.lc_k),
-        lc_v=jnp.where(m4, new.lc_v, old.lc_v),
-        length=jnp.where(mask, new.length, old.length),
-    )
+# (per-slot state selection now lives inside the encoder step — fused in
+# VMEM on the Pallas path, jnp.where on the XLA oracle path; see
+# emformer_stream_step's reset/advance)
 
 
 def init_emission_buffer(cfg: ServingConfig, max_slots: int) -> jax.Array:
@@ -250,8 +242,6 @@ def serving_step(params: dict, cfg: ServingConfig, segment_i16: jax.Array,
     """
     wave, new_ctx = _assemble_wave(cfg, segment_i16, ctx, active,
                                    new_stream)
-    zero = init_asr_state(cfg.asr, wave.shape[0])
-    state = _select_state(reset, zero, state)
 
     audio_cfg = cfg.asr.audio
     gate, silero_speech, lead, trail = _vad_stage(
@@ -259,15 +249,20 @@ def serving_step(params: dict, cfg: ServingConfig, segment_i16: jax.Array,
 
     decode = active & (contain_token | (gate & silero_speech))
 
-    out = asr_stream_step(params, cfg.asr, wave, state)
-    new_state = _select_state(decode, out.state, state)
+    # reset/advance are applied INSIDE the encoder step (the fused Pallas
+    # layer masks them in VMEM; the XLA oracle path uses equivalent
+    # jnp.where selects) — no full-state traversals out here.
+    out = asr_stream_step(params, cfg.asr, wave, state, reset=reset,
+                          advance=decode)
+    new_state = out.state
 
     # Append emissions at each slot's pre-step length.  vmap'd
     # dynamic_update_slice (contiguous rows) — NOT scatter, which
     # serializes on TPU.  Non-decoding slots read-modify-write their
     # existing rows (no-op).
     B, U, V = out.log_probs.shape
-    pos = jnp.clip(state.length, 0, cfg.max_emission_frames - U)
+    pre_len = jnp.where(reset, 0, state.length)
+    pos = jnp.clip(pre_len, 0, cfg.max_emission_frames - U)
     existing = jax.vmap(
         lambda buf, p: jax.lax.dynamic_slice(buf, (p, 0), (U, V))
     )(emission_buf, pos)

@@ -43,7 +43,7 @@ def _ln(x, scale, bias, eps=1e-5):
 def _layer_kernel(
     # per-tile tensors
     utt_ref, rc_ref, mem_row_ref, mem_state_ref, lc_k_ref, lc_v_ref,
-    len_ref,
+    len_ref, reset_ref, advance_ref,
     # layer weights (full arrays, fetched once)
     wq_ref, bq_ref, wkv_ref, bkv_ref, wout_ref, bout_ref,
     lnin_s_ref, lnin_b_ref, ffln_s_ref, ffln_b_ref,
@@ -63,6 +63,12 @@ def _layer_kernel(
     utt = utt_ref[...].astype(jnp.float32)              # [TB, U, D]
     rc = rc_ref[...].astype(jnp.float32)                # [TB, R, D]
 
+    # per-slot stream lifecycle masks (see emformer_stream_step): reset
+    # zeroes the carried state in VMEM on load; advance gates the write-
+    # back — this replaces two full-state jnp.where traversals in HBM
+    reset3 = (reset_ref[...] > 0)[:, :, None]           # [TB, 1, 1]
+    adv3 = (advance_ref[...] > 0)[:, :, None]
+
     lnin_s = lnin_s_ref[...].astype(jnp.float32)
     lnin_b = lnin_b_ref[...].astype(jnp.float32)
     ln_rc = _ln(rc, lnin_s, lnin_b)
@@ -80,9 +86,10 @@ def _layer_kernel(
                  preferred_element_type=jnp.float32).astype(cdt)
          + bq_ref[...].astype(cdt)).reshape(TB, Q, D)
 
+    mem_state = jnp.where(reset3, 0, mem_state_ref[...])
     if use_mem:
         kv_in = jnp.concatenate(
-            [mem_state_ref[...].astype(cdt), ln_rc.astype(cdt),
+            [mem_state.astype(cdt), ln_rc.astype(cdt),
              ln_utt.astype(cdt)], axis=1)                # [TB, M+R+U, D]
     else:
         kv_in = jnp.concatenate(
@@ -96,8 +103,8 @@ def _layer_kernel(
     next_k = k_part[:, M + R:]                           # [TB, U, D]
     next_v = v_part[:, M + R:]
 
-    lc_k = lc_k_ref[...].astype(cdt)
-    lc_v = lc_v_ref[...].astype(cdt)
+    lc_k = jnp.where(reset3, 0, lc_k_ref[...]).astype(cdt)
+    lc_v = jnp.where(reset3, 0, lc_v_ref[...]).astype(cdt)
     full_k = jnp.concatenate([k_part[:, :M + R], lc_k, next_k], axis=1)
     full_v = jnp.concatenate([v_part[:, :M + R], lc_v, next_v], axis=1)
 
@@ -170,20 +177,25 @@ def _layer_kernel(
     out_rc_ref[...] = result[:, :R]
     out_utt_ref[...] = result[:, R:]
 
-    # ---- state roll (newest at the end)
+    # ---- state roll (newest at the end), committed only where advance
     if use_mem:
-        out_mem_state_ref[...] = jnp.concatenate(
-            [mem_state_ref[...][:, 1:],
-             mem_row_ref[...].astype(mem_state_ref.dtype)], axis=1)
+        rolled = jnp.concatenate(
+            [mem_state[:, 1:],
+             mem_row_ref[...].astype(mem_state.dtype)], axis=1)
+        out_mem_state_ref[...] = jnp.where(adv3, rolled, mem_state)
     else:
-        out_mem_state_ref[...] = mem_state_ref[...]
+        out_mem_state_ref[...] = mem_state
     keep = max(0, Lc - U)
-    out_lc_k_ref[...] = jnp.concatenate(
+    new_lc_k = jnp.concatenate(
         [lc_k[:, Lc - keep:], next_k[:, U - (Lc - keep):]],
         axis=1).astype(out_lc_k_ref.dtype)
-    out_lc_v_ref[...] = jnp.concatenate(
+    new_lc_v = jnp.concatenate(
         [lc_v[:, Lc - keep:], next_v[:, U - (Lc - keep):]],
         axis=1).astype(out_lc_v_ref.dtype)
+    out_lc_k_ref[...] = jnp.where(adv3, new_lc_k,
+                                  lc_k.astype(out_lc_k_ref.dtype))
+    out_lc_v_ref[...] = jnp.where(adv3, new_lc_v,
+                                  lc_v.astype(out_lc_v_ref.dtype))
 
 
 @functools.partial(
@@ -193,7 +205,8 @@ def _layer_kernel(
 def fused_emformer_layer(p: dict, utt: jax.Array, rc: jax.Array,
                          mem_row, mem_state: jax.Array,
                          lc_k: jax.Array, lc_v: jax.Array,
-                         length: jax.Array, *,
+                         length: jax.Array,
+                         reset=None, advance=None, *,
                          U: int, R: int, M: int, Lc: int, H: int,
                          use_mem: bool, tanh_on_mem: bool, neg_inf: float,
                          activation: str, cdt_name: str = "bfloat16",
@@ -203,11 +216,17 @@ def fused_emformer_layer(p: dict, utt: jax.Array, rc: jax.Array,
 
     p: this layer's parameter dict (unstacked, [D,...] shapes).
     utt [B,U,D] f32, rc [B,R,D] f32, mem_row [B,1,D] f32 (or None),
-    mem_state [B,M,D], lc_k/lc_v [B,Lc,D] (compute dtype), length [B] i32.
+    mem_state [B,M,D], lc_k/lc_v [B,Lc,D] (compute dtype), length [B] i32
+    (callers pass the RESET-EFFECTIVE length), reset/advance optional [B]
+    bool lifecycle masks applied in VMEM (see emformer_stream_step).
     Returns (new_utt, new_rc, new_mem_row, new_mem_state, new_lc_k,
     new_lc_v) like models/emformer.py:_layer_step.
     """
     B, _, D = utt.shape
+    if reset is None:
+        reset = jnp.zeros((B,), bool)
+    if advance is None:
+        advance = jnp.ones((B,), bool)
     cdt = jnp.dtype(cdt_name)
     TB = min(tile, B)
     while B % TB:            # largest divisor of B not exceeding `tile`
@@ -267,11 +286,14 @@ def fused_emformer_layer(p: dict, utt: jax.Array, rc: jax.Array,
     )
     out_specs = (tile_spec(U), tile_spec(R), tile_spec(1),
                  tile_spec(M_eff), tile_spec(Lc), tile_spec(Lc))
+    mask_spec = pl.BlockSpec((TB, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
     in_specs = [
         tile_spec(utt.shape[1]), tile_spec(R), tile_spec(1),
         tile_spec(M_eff), tile_spec(Lc), tile_spec(Lc),
-        pl.BlockSpec((TB, 1), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),               # length
+        mask_spec,                                           # length
+        mask_spec,                                           # reset
+        mask_spec,                                           # advance
     ] + [weight_spec(w.shape) for w in weights]
 
     outs = pl.pallas_call(
@@ -287,7 +309,9 @@ def fused_emformer_layer(p: dict, utt: jax.Array, rc: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(utt, rc, mem_row, mem_state, lc_k, lc_v,
-      length.astype(jnp.int32).reshape(B, 1), *weights)
+      length.astype(jnp.int32).reshape(B, 1),
+      reset.astype(jnp.int32).reshape(B, 1),
+      advance.astype(jnp.int32).reshape(B, 1), *weights)
 
     new_utt, new_rc, new_mem_row, new_mem_state, new_lc_k, new_lc_v = outs
     if M == 0:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from collections import deque
 from functools import partial
 from typing import Dict, List, Optional, Sequence
 
@@ -57,7 +58,8 @@ class Scheduler:
                  ngram_cost: Optional[NgramEndpointCost] = None,
                  donate_state: bool = True,
                  en_beam_partials: bool = False,
-                 en_beam_width: int = 10):
+                 en_beam_width: int = 10,
+                 pipeline_depth: int = 1):
         self.params = params
         self.cfg = cfg
         self.vocab = list(vocab)
@@ -99,17 +101,27 @@ class Scheduler:
         self._needs_reset = np.zeros(max_slots, bool)
         self._new_stream = np.zeros(max_slots, bool)
         # only NEW audio crosses the host link (int16); the carried
-        # context prefix lives on device (init_audio_context)
-        # double-buffered staging (the async H2D copy may still be
-        # reading buffer A while buffer B is filled for the next tick)
+        # context prefix lives on device (init_audio_context).
+        # depth+1 staging buffers: the async H2D copy of an in-flight
+        # batch may still be reading its buffer while later ticks stage
         self._mulaw = cfg.upload_encoding == "mulaw"
         seg_dtype = np.uint8 if self._mulaw else np.int16
         self._segment = np.zeros(
-            (2, max_slots, cfg.asr.audio.segment_length), seg_dtype)
+            (max(1, pipeline_depth) + 1, max_slots,
+             cfg.asr.audio.segment_length), seg_dtype)
         self._staging_idx = 0
         self._seg_f32 = np.zeros((max_slots, cfg.asr.audio.segment_length),
                                  np.float32)
-        self._pending = None          # (out, ready, t_dispatch)
+        # In-flight batches: each tick dispatches one and harvests the
+        # oldest.  Depth 1 (default): gather batch N first (its upload
+        # overlaps the harvest block of N-1), harvest, dispatch — every
+        # ready stream rides every tick.  Depth >= 2 serializes each
+        # stream's chunks through the pipeline (skips streams with
+        # in-flight chunks) — only pays off when the per-tick round trip
+        # is tiny relative to the device step (local PCIe hosts); on this
+        # remote tunnel depth 1 measures fastest (1824 vs 1223 streams).
+        self.pipeline_depth = max(1, pipeline_depth)
+        self._pending: deque = deque()   # (out, ready, t_dispatch)
         self.pending_slots: set = set()
         self.audio_ctx = init_audio_context(cfg, max_slots)
 
@@ -188,33 +200,48 @@ class Scheduler:
     # ------------------------------------------------------------------ tick
 
     def has_work(self) -> bool:
-        return self._pending is not None or \
+        return bool(self._pending) or \
             any(s.has_chunk() for s in self.streams.values())
 
     def tick(self) -> List[StreamEvent]:
         """One pipelined scheduler cycle.
 
-        Three phases, so the (bandwidth-bound) audio upload of batch N
-        overlaps the device compute of batch N-1:
-          1. gather batch N's new segments, pop the ring-buffer windows,
-             and start the async host->device copy;
-          2. harvest batch N-1's packed results and scatter them to the
-             stream state machines (this also settles contain_token /
-             reset flags exactly as the reference's sequential per-chunk
-             loop would);
-          3. dispatch batch N with the settled flags.
-        Events for a chunk are therefore returned one tick() call later.
+        Three phases, ordered so the device step never sits on the
+        tick's critical path:
+          1. harvest the OLDEST in-flight batch — when the pipeline is
+             `pipeline_depth` deep, when its result is already host-side
+             (non-blocking is_ready probe + async D2H started at
+             dispatch), or when there is nothing new to gather — and
+             scatter it to the stream state machines (settling
+             contain_token / reset flags exactly as the reference's
+             sequential per-chunk loop would);
+          2. gather ready segments from streams with NO chunk still in
+             flight (a stream's chunks are serialized through the
+             pipeline so its flags are always settled), encode
+             (native C++ codec), start the async host->device copy;
+          3. dispatch the new batch.
+        A chunk's events surface one tick after its gather (depth 1).
         """
         t0 = time.perf_counter()
 
-        # ---- phase 1: gather + async upload
+        # ---- phase 1: gather + encode + async upload.
+        # Depth 1 (default): gather EVERY ready stream — flags are read
+        # at dispatch, which happens after this tick's harvest applies
+        # the previous batch, so a stream's flags are always settled.
+        # Depth >= 2: a stream's previous chunk may still be un-harvested
+        # at dispatch time, so streams with in-flight chunks are skipped
+        # (chunks serialize through the pipeline).
         t_gather = time.perf_counter()
-        ready = [(slot, s) for slot, s in self.streams.items()
-                 if s.has_chunk()]
+        if self.pipeline_depth == 1:
+            ready = [(slot, s) for slot, s in self.streams.items()
+                     if s.has_chunk()]
+        else:
+            ready = [(slot, s) for slot, s in self.streams.items()
+                     if s.has_chunk() and slot not in self.pending_slots]
         seg_dev = None
         if ready:
             staging = self._segment[self._staging_idx]
-            self._staging_idx ^= 1
+            self._staging_idx = (self._staging_idx + 1) % len(self._segment)
             for slot, s in ready:
                 self._seg_f32[slot] = s.pop_chunk()
             # native single-pass encode (a few ms); numpy fallback is
@@ -236,13 +263,16 @@ class Scheduler:
             self.timers.observe("gather_upload",
                                 time.perf_counter() - t_gather)
 
-        # ---- phase 2: harvest the previous batch
+        # ---- phase 2: harvest the oldest in-flight batch (always at
+        # depth 1 — its upload overlapped this tick's gather; at deeper
+        # pipelines only once the queue is full or there is nothing new)
         events: List[StreamEvent] = []
-        if self._pending is not None:
-            out_prev, ready_prev, t_dispatch = self._pending
-            self._pending = None
+        if self._pending and (len(self._pending) >= self.pipeline_depth
+                              or not ready):
+            out_prev, ready_prev, t_dispatch = self._pending.popleft()
             pack = np.asarray(out_prev.pack)    # blocks until done
-            self.pending_slots = set()
+            self.pending_slots = {slot for _, batch, _ in self._pending
+                                  for slot, _ in batch}
             self.timers.observe("device_step",
                                 time.perf_counter() - t_dispatch)
             events = self._scatter(pack, ready_prev)
@@ -269,8 +299,8 @@ class Scheduler:
                 pass
             self._needs_reset[:] = False
             self._new_stream[:] = False
-            self._pending = (out, ready, t_dispatch)
-            self.pending_slots = {slot for slot, _ in ready}
+            self._pending.append((out, ready, t_dispatch))
+            self.pending_slots |= {slot for slot, _ in ready}
 
         self.ticks += 1
         self.last_tick_seconds = time.perf_counter() - t0

@@ -77,24 +77,34 @@ def main():
     chunk_samples = int(16000 * TICK_SECONDS)
 
     # ---------------- phase A: saturated throughput
-    audio = (rng.standard_normal(chunk_samples * (ROUNDS_A + 3)) * 0.25
+    # streams may be serviced on alternating ticks (chunks of one stream
+    # serialize through the pipeline), so throughput is measured by the
+    # actual chunks-processed counter, not tick counts
+    prefeed = 40
+    audio = (rng.standard_normal(chunk_samples * prefeed) * 0.25
              ).astype(np.float32)
     streams = []
     for i in range(SLOTS):
         s = sched.admit(f"bench{i}")
         s.accept_waveform(audio)
         streams.append(s)
-    # warmup rounds
-    for _ in range(3 * GROUPS):
+
+    def chunks_done():
+        return sched.timers.snapshot()["counters"].get(
+            "chunks_processed", 0)
+
+    while chunks_done() < 3 * SLOTS:      # warm the pipeline
         sched.tick()
-    t0 = time.perf_counter()
-    n_ticks = ROUNDS_A * GROUPS
-    for _ in range(n_ticks):
+    c0, t0 = chunks_done(), time.perf_counter()
+    while time.perf_counter() - t0 < 5.0 and \
+            chunks_done() - c0 < (prefeed - 6) * SLOTS:
         sched.tick()
-    round_seconds = (time.perf_counter() - t0) / ROUNDS_A
+    elapsed = time.perf_counter() - t0
+    chunks = chunks_done() - c0
     sched.drain()
 
-    streams_rtf1 = int(SLOTS * TICK_SECONDS / round_seconds)
+    streams_rtf1 = int(chunks * TICK_SECONDS / elapsed)
+    round_seconds = elapsed / max(1, chunks / SLOTS)
 
     # ---------------- phase B: paced real-time latency
     chunk = (rng.standard_normal(chunk_samples) * 0.25).astype(np.float32)

@@ -77,3 +77,38 @@ def test_fused_layer_uneven_batch_tile():
     ys_ref, _ = _run_steps(VI_CFG, B=6)
     ys_ker, _ = _run_steps(fused, B=6)
     np.testing.assert_allclose(ys_ker, ys_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_layer_lifecycle_masks():
+    """reset/advance masks fused in the kernel == the XLA oracle's
+    jnp.where selects, across steps with per-slot churn."""
+    import jax.numpy as jnp
+
+    B, n_steps = 4, 5
+    rng = np.random.default_rng(9)
+    base = dataclasses.replace(VI_CFG, compute_dtype=jnp.float32)
+    fused = dataclasses.replace(base, use_pallas_layer=True, pallas_tile=2)
+    params = init_emformer_params(jax.random.PRNGKey(2), base)
+    st_ref = init_emformer_state(base, B)
+    st_ker = init_emformer_state(fused, B)
+
+    for step in range(n_steps):
+        x = jnp.asarray(rng.standard_normal(
+            (B, base.segment_length + base.right_context_length,
+             base.d_model)), jnp.float32)
+        reset = jnp.asarray(rng.random(B) < 0.3)
+        advance = jnp.asarray(rng.random(B) < 0.7)
+        y_ref, st_ref = emformer_stream_step(params, base, x, st_ref,
+                                             reset=reset, advance=advance)
+        y_ker, st_ker = emformer_stream_step(params, fused, x, st_ker,
+                                             reset=reset, advance=advance)
+        np.testing.assert_allclose(np.asarray(y_ker), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+        for a, b, name in [(st_ker.mem, st_ref.mem, "mem"),
+                           (st_ker.lc_k, st_ref.lc_k, "lc_k"),
+                           (st_ker.lc_v, st_ref.lc_v, "lc_v")]:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5,
+                                       err_msg=f"{name} step {step}")
+        np.testing.assert_array_equal(np.asarray(st_ker.length),
+                                      np.asarray(st_ref.length))
