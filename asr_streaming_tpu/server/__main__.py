@@ -41,7 +41,12 @@ def build_server(settings, max_slots=None):
     # 27-38) — here they come from ASR_CORPUS_DIR / config / known locations
     vocab = None
     if settings.vocab_path:
-        vocab = load_vocab(settings.vocab_path)
+        if settings.vocab_path.endswith(".model"):
+            # SentencePiece model (EN path; reference recognition.py:119)
+            from asr_streaming_tpu.text.spm import load_spm_pieces
+            vocab = load_spm_pieces(settings.vocab_path)
+        else:
+            vocab = load_vocab(settings.vocab_path)
     elif settings.language != "en":
         paths = corpus_paths(getattr(settings, "corpus_dir", None))
         if "vocab" in paths:

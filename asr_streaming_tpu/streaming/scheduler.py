@@ -18,6 +18,7 @@ accumulated emission for the host-side beam rescorer.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from collections import deque
 from functools import partial
@@ -293,10 +294,11 @@ class Scheduler:
             # start the pack's D2H now: by next tick the bytes are already
             # host-side and the harvest np.asarray is a local copy instead
             # of a device round trip on the critical path
-            try:
-                out.pack.copy_to_host_async()
-            except AttributeError:
-                pass
+            if not os.environ.get("ASR_NO_ASYNC_PACK"):
+                try:
+                    out.pack.copy_to_host_async()
+                except AttributeError:
+                    pass
             self._needs_reset[:] = False
             self._new_stream[:] = False
             self._pending.append((out, ready, t_dispatch))

@@ -79,3 +79,20 @@ def test_oov_recognizer_end_to_end():
     p_enrolled = oov.char_score("i", ("<<", "b", "i", "t", "c", "o"))
     p_random = oov.char_score("z", ("<<", "b", "i", "t", "c", "o"))
     assert p_enrolled > p_random
+
+
+def test_spm_piece_extraction(tmp_path):
+    """SentencePiece .model piece table via raw protobuf (EN detokenizer
+    vocab; reference recognition.py:119)."""
+    from asr_streaming_tpu.text.spm import (
+        encode_test_model, load_spm_pieces,
+    )
+    from asr_streaming_tpu.models.rnnt import detokenize_pieces
+
+    pieces = ["<unk>", "<s>", "</s>", "▁the", "▁cat", "s",
+              "▁sát"]
+    p = tmp_path / "spm.model"
+    p.write_bytes(encode_test_model(pieces))
+    got = load_spm_pieces(str(p))
+    assert got == pieces
+    assert detokenize_pieces([3, 4, 5], got, lstrip=True) == "the cats"
