@@ -6,12 +6,16 @@ enrolls one speaker; _verify_speaker at 575-586 embeds the
 [word_start, word_end] slice of each final segment and compares cosine
 similarity against threshold 0.45, config asr-online.yaml:139-142).
 
-Architecture (standard ECAPA-TDNN):
-  Conv1d(k5) + ReLU + BN
-  -> 3x SE-Res2Block (dilations 2,3,4; Res2Net scale; SE bottleneck)
-  -> Conv1d concat features (1536)
-  -> attentive statistics pooling (context-aware attention over time)
-  -> BN -> Linear -> embedding (192)
+Architecture (speechbrain ``ECAPA_TDNN`` module-for-module, so the real
+``spkrec-ecapa-voxceleb`` checkpoint converts directly —
+tools/convert_ecapa.py):
+  TDNNBlock(k5) = Conv1d(reflect same-pad) + ReLU + BN
+  -> 3x SERes2NetBlock (tdnn1 k1 -> Res2Net k3 dilations 2,3,4 -> tdnn2 k1
+     -> SE bottleneck; residual)
+  -> mfa TDNNBlock(k1) over the concatenated block outputs (1536)
+  -> attentive statistics pooling with global context
+     (tdnn k1 + ReLU + BN -> tanh -> conv) -> BN -> Linear -> embedding
+     (192)
 
 Inputs are 80-mel filterbanks; segment audio is bucketed to power-of-two
 lengths so verification never triggers recompiles.
@@ -59,10 +63,14 @@ def _bn_init(c):
 
 
 def _conv1d(p, x, dilation=1):
+    """Conv1d with reflect "same" padding (speechbrain CNN.Conv1d
+    defaults: padding="same", padding_mode="reflect")."""
     k = p["w"].shape[-1]
     pad = dilation * (k - 1) // 2
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
     y = jax.lax.conv_general_dilated(
-        x, p["w"], (1,), [(pad, pad)], rhs_dilation=(dilation,),
+        x, p["w"], (1,), [(0, 0)], rhs_dilation=(dilation,),
         dimension_numbers=("NCW", "OIW", "NCW"))
     return y + p["b"][:, None]
 
@@ -98,8 +106,10 @@ def init_ecapa_params(key, cfg: EcapaConfig = EcapaConfig()) -> dict:
         params["blocks"].append(block)
     cat = C * len(cfg.dilations)
     params["mfa"] = _conv_init(next(keys), cat, cat, 1)
+    params["mfa_bn"] = _bn_init(cat)
     params["att_conv1"] = _conv_init(next(keys), cfg.attention_channels,
                                      3 * cat, 1)
+    params["att_bn"] = _bn_init(cfg.attention_channels)
     params["att_conv2"] = _conv_init(next(keys), cat,
                                      cfg.attention_channels, 1)
     params["out_bn"] = _bn_init(2 * cat)
@@ -161,8 +171,10 @@ def ecapa_embed(params: dict, cfg: EcapaConfig, feats: jax.Array,
         feats_out.append(h)
     h = jax.nn.relu(_conv1d(params["mfa"], jnp.concatenate(feats_out,
                                                            axis=1)))
+    h = _bn(params["mfa_bn"], h, training)
 
-    # attentive statistics pooling with global context
+    # attentive statistics pooling with global context (speechbrain
+    # AttentiveStatisticsPooling: TDNNBlock -> tanh -> conv)
     denom = jnp.clip(jnp.sum(mask, axis=2, keepdims=True), 1, None)
     mean = jnp.sum(h * mask, axis=2, keepdims=True) / denom
     var = jnp.sum(((h - mean) ** 2) * mask, axis=2, keepdims=True) / denom
@@ -171,7 +183,9 @@ def ecapa_embed(params: dict, cfg: EcapaConfig, feats: jax.Array,
         h,
         jnp.broadcast_to(mean, h.shape),
         jnp.broadcast_to(std, h.shape)], axis=1)
-    att = jnp.tanh(_conv1d(params["att_conv1"], ctx))
+    att = jax.nn.relu(_conv1d(params["att_conv1"], ctx))
+    att = _bn(params["att_bn"], att, training)
+    att = jnp.tanh(att)
     att = _conv1d(params["att_conv2"], att)
     att = jnp.where(mask, att, -1e9)
     att = jax.nn.softmax(att, axis=2)

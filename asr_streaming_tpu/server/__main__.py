@@ -170,9 +170,34 @@ def build_server(settings, max_slots=None):
         )
         from asr_streaming_tpu.train.data import read_wav
         ecfg = EcapaConfig()
-        eparams = init_ecapa_params(jax.random.PRNGKey(1), ecfg)
-        # ECAPA weights ship with the speaker-verification checkpoint; a
-        # random-init verifier still exercises the pipeline end to end
+        if settings.speaker_weights:
+            # trained ECAPA weights: framework .npz or a raw speechbrain
+            # embedding_model.ckpt converted on the fly
+            if settings.speaker_weights.endswith((".ckpt", ".pt")):
+                import torch
+                from asr_streaming_tpu.tools.convert_ecapa import (
+                    convert_ecapa_state_dict,
+                )
+                blob = torch.load(settings.speaker_weights,
+                                  map_location="cpu", weights_only=False)
+                sd = (blob.get("state_dict", blob)
+                      if isinstance(blob, dict) else blob)
+                sd = {k.removeprefix("embedding_model."): v
+                      for k, v in sd.items()}
+                eparams = jax.tree.map(jnp.asarray,
+                                       convert_ecapa_state_dict(sd, ecfg))
+            else:
+                from asr_streaming_tpu.utils.checkpoint import load_params
+                like = init_ecapa_params(jax.random.PRNGKey(1), ecfg)
+                eparams = load_params(settings.speaker_weights, like=like)
+            logging.info("loaded ECAPA speaker weights from %s",
+                         settings.speaker_weights)
+        else:
+            # a random-init verifier still exercises the pipeline end to
+            # end, but is_speaker is noise — ship speaker_weights in prod
+            eparams = init_ecapa_params(jax.random.PRNGKey(1), ecfg)
+            logging.warning("speaker verification running with RANDOM "
+                            "ECAPA weights (set speaker_weights:)")
         wave, _sr = read_wav(settings.speaker_wav)
         speaker_verifier = SpeakerVerifier(
             eparams, ecfg, wave, threshold=settings.speaker_threshold)

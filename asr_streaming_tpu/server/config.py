@@ -46,6 +46,8 @@ class ServerSettings:
     norm_url: Optional[str] = None             # text normalizer sidecar
     speaker_wav: Optional[str] = None
     speaker_threshold: float = 0.45
+    speaker_weights: Optional[str] = None  # ECAPA npz (tools/convert_ecapa)
+                                           # or raw embedding_model.ckpt
     audio: AudioConfig = dataclasses.field(default_factory=lambda: VI_AUDIO)
     endpoint_rules: Dict = dataclasses.field(
         default_factory=lambda: VI_DEFAULT_RULES)
@@ -81,6 +83,7 @@ class ServerSettings:
                     "compute_dtype", "checkpoint", "corpus_dir", "vocab_path",
                     "lexicon_path", "lm_path", "lm_endpointing_path",
                     "vad_weights", "doc_root", "certificate", "speaker_wav",
+                    "speaker_weights",
                     "use_silero", "upload_encoding", "en_beam_partials",
                     "en_beam_width", "scheduler_groups",
                     "lm_weight", "beam_size", "beam_size_token",
