@@ -39,6 +39,9 @@ from asr_streaming_tpu.models.vad import (
     energy_gate,
 )
 from asr_streaming_tpu.ops.frontend import MelConfig, make_mel_params, log_mel
+from asr_streaming_tpu.ops.pallas_append import (
+    append_supported, emission_append, emission_append_xla,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,12 +121,49 @@ def init_serving_state(cfg: ServingConfig, max_slots: int) -> ServingState:
 # emformer_stream_step's reset/advance)
 
 
+def emission_width(cfg: ServingConfig) -> int:
+    """Logical per-frame width of the emission buffer (V or E)."""
+    return (cfg.rnnt.encoding_dim if cfg.model_kind == "rnnt"
+            else cfg.asr.encoder.vocab_size)
+
+
+def _emission_packed(cfg: ServingConfig) -> bool:
+    # float16 rows are stored as packed f32 bit-pairs: Mosaic has no f16
+    # lanes, and bitcasting the WHOLE buffer around the append kernel
+    # forces an 842 MB relayout copy per tick (measured ~28 ms at 512
+    # slots).  Packing at the storage level keeps f16 fidelity while the
+    # kernel and all device ops see native f32; the host unpacks with a
+    # zero-copy np view at fetch time.
+    return cfg.emission_dtype == "float16"
+
+
+def _pack_f16_rows(rows: jax.Array) -> jax.Array:
+    """[B, U, V] float -> [B, U, ceil(V/2)] f32 holding f16 bit pairs."""
+    B, U, V = rows.shape
+    h = rows.astype(jnp.float16)
+    if V % 2:
+        h = jnp.pad(h, ((0, 0), (0, 0), (0, 1)))
+    return jax.lax.bitcast_convert_type(
+        h.reshape(B, U, (V + 1) // 2, 2), jnp.float32)
+
+
+def _unpack_f16_rows(arr: "np.ndarray", V: int) -> "np.ndarray":
+    """Host side: [L, ceil(V/2)] f32 bit-pairs -> [L, V] f32."""
+    import numpy as np
+    flat = np.ascontiguousarray(arr).view(np.float16)
+    return flat.reshape(arr.shape[0], -1)[:, :V].astype(np.float32)
+
+
 def init_emission_buffer(cfg: ServingConfig, max_slots: int) -> jax.Array:
     """Device-resident per-slot ring buffer: CTC log-probs [B, MAX_T, V]
     (vi path) or transcriber encodings [B, MAX_T, E] (rnnt path, consumed
-    by the host beam rescorer at finals)."""
-    width = (cfg.rnnt.encoding_dim if cfg.model_kind == "rnnt"
-             else cfg.asr.encoder.vocab_size)
+    by the host beam rescorer at finals).  float16 rows are stored packed
+    (see _emission_packed)."""
+    width = emission_width(cfg)
+    if _emission_packed(cfg):
+        return jnp.zeros(
+            (max_slots, cfg.max_emission_frames, (width + 1) // 2),
+            dtype=jnp.float32)
     return jnp.zeros((max_slots, cfg.max_emission_frames, width),
                      dtype=jnp.dtype(cfg.emission_dtype))
 
@@ -132,10 +172,13 @@ def make_emission_fetcher(cfg: ServingConfig):
     """Bucketed jitted fetch of one slot's accumulated emission.
 
     Returns fetch(emission_buf, slot, length) -> np [length, V] f32;
-    each power-of-two bucket compiles once."""
+    each power-of-two bucket compiles once.  Packed-f16 storage is
+    unpacked host-side (zero-copy np view)."""
     import numpy as np
 
     fetchers = {}
+    packed = _emission_packed(cfg)
+    width = emission_width(cfg)
 
     def fetch(buf, slot: int, length: int):
         bucket = 128
@@ -148,8 +191,8 @@ def make_emission_fetcher(cfg: ServingConfig):
                     b, (s, 0, 0),
                     (1, bucket, b.shape[2]))[0].astype(jnp.float32),
                 static_argnums=())
-        out = np.asarray(fetchers[bucket](buf, jnp.int32(slot)))
-        return out[:length]
+        out = np.asarray(fetchers[bucket](buf, jnp.int32(slot)))[:length]
+        return _unpack_f16_rows(out, width) if packed else out
 
     return fetch
 
@@ -256,27 +299,32 @@ def serving_step(params: dict, cfg: ServingConfig, segment_i16: jax.Array,
                           advance=decode)
     new_state = out.state
 
-    # Append emissions at each slot's pre-step length.  vmap'd
-    # dynamic_update_slice (contiguous rows) — NOT scatter, which
-    # serializes on TPU.  Non-decoding slots read-modify-write their
-    # existing rows (no-op).
+    # Append emissions at each slot's pre-step length.  On TPU this is a
+    # Pallas kernel writing ONLY the B x U new rows in place (the vmapped
+    # dynamic_update_slice spelling lowers to a whole-buffer scatter —
+    # measured 30 ms/step at 512 slots vs ~0.3 ms for the kernel).
     B, U, V = out.log_probs.shape
     pre_len = jnp.where(reset, 0, state.length)
     pos = jnp.clip(pre_len, 0, cfg.max_emission_frames - U)
-    existing = jax.vmap(
-        lambda buf, p: jax.lax.dynamic_slice(buf, (p, 0), (U, V))
-    )(emission_buf, pos)
-    new_rows = jnp.where(decode[:, None, None],
-                         out.log_probs.astype(emission_buf.dtype),
-                         existing)
-    emission_buf = jax.vmap(
-        lambda buf, rows, p: jax.lax.dynamic_update_slice(buf, rows, (p, 0))
-    )(emission_buf, new_rows, pos)
+    rows = (_pack_f16_rows(out.log_probs) if _emission_packed(cfg)
+            else out.log_probs.astype(emission_buf.dtype))
+    emission_buf = _append(emission_buf, rows, pos, decode)
 
     pack = _pack(decode, gate, silero_speech, lead, trail,
                  out.argmax.astype(jnp.float32))
     return ServingTickOutput(pack=pack, state=new_state,
                              emission=emission_buf, ctx=new_ctx)
+
+
+def _append(emission_buf: jax.Array, rows: jax.Array, pos: jax.Array,
+            decode: jax.Array) -> jax.Array:
+    """Per-slot row append: Pallas in-place kernel on TPU, XLA oracle
+    elsewhere (ops/pallas_append.py)."""
+    max_t = emission_buf.shape[1]
+    U = rows.shape[1]
+    if jax.default_backend() == "tpu" and append_supported(max_t, U):
+        return emission_append(emission_buf, rows, pos, decode)
+    return emission_append_xla(emission_buf, rows, pos, decode)
 
 
 def _vad_stage(params: dict, cfg: ServingConfig, wave: jax.Array,
@@ -343,17 +391,11 @@ def serving_step_rnnt(params: dict, cfg: ServingConfig,
         # CTC emission buffer): lets the host RNNT beam rescore finals
         # without per-tick encoding transfers.
         B, U, E = out.encodings.shape
-        pos = jnp.clip(state.encoder.length, 0,
-                       emission_buf.shape[1] - U)
-        existing = jax.vmap(
-            lambda buf, p: jax.lax.dynamic_slice(buf, (p, 0), (U, E))
-        )(emission_buf, pos)
-        rows = jnp.where(decode[:, None, None],
-                         out.encodings.astype(emission_buf.dtype),
-                         existing)
-        emission_buf = jax.vmap(
-            lambda buf, r, p: jax.lax.dynamic_update_slice(buf, r, (p, 0))
-        )(emission_buf, rows, pos)
+        max_t = emission_buf.shape[1]
+        pos = jnp.clip(state.encoder.length, 0, max_t - max_t % U - U)
+        rows = (_pack_f16_rows(out.encodings) if _emission_packed(cfg)
+                else out.encodings.astype(emission_buf.dtype))
+        emission_buf = _append(emission_buf, rows, pos, decode)
 
     pack = _pack(decode, gate, silero_speech, lead, trail,
                  out.tokens.astype(jnp.float32))

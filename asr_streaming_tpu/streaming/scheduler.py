@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from asr_streaming_tpu.models.serving import (
     PACK_DATA, PACK_DECODED, PACK_LEAD, PACK_TRAIL, ServingConfig,
+    _emission_packed, _unpack_f16_rows, emission_width,
     init_audio_context, init_emission_buffer, init_serving_state,
     make_emission_fetcher, make_serving_step,
 )
@@ -84,12 +85,18 @@ class Scheduler:
             self._beam = RNNTBeamDecoder(params, cfg.rnnt,
                                          beam_width=en_beam_width)
             U = cfg.rnnt.emformer.segment_length
+            packed = _emission_packed(cfg)
+            width = emission_width(cfg)
 
             @jax.jit
-            def fetch_chunk(buf, slot, pos):
+            def fetch_raw(buf, slot, pos):
                 return jax.lax.dynamic_slice(
                     buf, (slot, pos, 0),
                     (1, U, buf.shape[2]))[0].astype(jnp.float32)
+
+            def fetch_chunk(buf, slot, pos):
+                out = np.asarray(fetch_raw(buf, slot, pos))
+                return _unpack_f16_rows(out, width) if packed else out
 
             self._fetch_chunk = fetch_chunk
 
