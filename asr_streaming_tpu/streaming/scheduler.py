@@ -61,7 +61,8 @@ class Scheduler:
                  donate_state: bool = True,
                  en_beam_partials: bool = False,
                  en_beam_width: int = 10,
-                 pipeline_depth: int = 1):
+                 pipeline_depth: int = 1,
+                 mesh=None):
         self.params = params
         self.cfg = cfg
         self.vocab = list(vocab)
@@ -138,14 +139,31 @@ class Scheduler:
         # arrays are serialized into the remote compile request, which
         # overflows the axon tunnel's body limit (HTTP 413) at EN scale.
         donate = (6, 7, 8) if donate_state else ()
-        step_fn = make_serving_step(cfg)
+        self.mesh = mesh
+        if mesh is not None:
+            # Multi-chip data-parallel serving: slots sharded over the
+            # mesh's 'data' axis, one shard_map step per tick, zero
+            # per-tick collectives (parallel/serving.py).
+            from asr_streaming_tpu.parallel.serving import (
+                data_parallel_size, make_sharded_stepper,
+                shard_serving_arrays,
+            )
+            assert max_slots % data_parallel_size(mesh) == 0, (
+                max_slots, dict(mesh.shape))
+            self._step = make_sharded_stepper(cfg, mesh, params,
+                                              donate_state=donate_state)
+            self.device_state, self.audio_ctx, self.emission_buf = \
+                shard_serving_arrays(cfg, mesh, self.device_state,
+                                     self.audio_ctx, self.emission_buf)
+        else:
+            step_fn = make_serving_step(cfg)
 
-        def _stepper(params, segment, contain, active, new_stream, reset,
-                     state, ctx, emission):
-            return step_fn(params, cfg, segment, contain, active,
-                           new_stream, reset, state, ctx, emission)
+            def _stepper(params, segment, contain, active, new_stream,
+                         reset, state, ctx, emission):
+                return step_fn(params, cfg, segment, contain, active,
+                               new_stream, reset, state, ctx, emission)
 
-        self._step = jax.jit(_stepper, donate_argnums=donate)
+            self._step = jax.jit(_stepper, donate_argnums=donate)
 
         # per-tick timing telemetry
         from asr_streaming_tpu.utils.observability import StageTimers

@@ -29,6 +29,9 @@ import numpy as np
 TICK_SECONDS = 0.64
 BASELINE_STREAMS = 500.0
 SLOTS = 512
+# 1024 slots measured WORSE on this link (1693 streams / 387 ms round vs
+# 2821 / 116 ms at 512): host gather and the tunnel upload go superlinear
+# (16 -> 190 ms) and the device step 4x's (emission-buffer HBM pressure).
 # Slot groups: >1 shrinks per-chunk latency when the host<->device link
 # is local (PCIe); on this remote tunnel the per-tick round-trip cost
 # dominates small ticks (measured: 4 groups = 817 streams / p50 834 ms
