@@ -20,7 +20,9 @@ from __future__ import annotations
 import dataclasses
 import json
 import wave as wave_mod
-from typing import Callable, Dict, Iterator, List, Optional, Sequence
+from typing import (
+    Callable, Dict, Iterator, List, NamedTuple, Optional, Sequence,
+)
 
 import numpy as np
 
@@ -181,3 +183,96 @@ class SpeechRepresentationDataset:
         for aug in self.augmentations:
             wave = aug(wave)
         return wave
+
+
+# ------------------------------------------------------------------- TTS
+
+@dataclasses.dataclass
+class TTSExample:
+    tokens: np.ndarray      # [Tp] int32 phoneme/subword ids
+    word_idxs: np.ndarray   # [Tp] int32 word index per token
+    word_durs: np.ndarray   # [Tw] int32 frames per word (from alignment)
+    audio: np.ndarray       # [T] float32
+
+
+class TTSBatch(NamedTuple):
+    # NamedTuple (a pytree) so whole batches pass through jit directly
+    tokens: np.ndarray       # [B, Tp_bucket] int32
+    token_lens: np.ndarray   # [B] int32
+    word_idxs: np.ndarray    # [B, Tp_bucket] int32
+    word_durs: np.ndarray    # [B, Tw_bucket] int32
+    audio: np.ndarray        # [B, T_bucket] float32
+    audio_lens: np.ndarray   # [B] int32
+
+
+class SpeechSynthesisDataset:
+    """(tokens, word map, durations, audio) for TTS training (reference
+    SpeechSynthesisDataset, v1 datas/dataset.py).  Manifest lines carry
+    precomputed token/word ids and per-word frame durations (from a
+    forced alignment — decode/alignment.py produces these):
+    {"audio_filepath", "tokens": [int...], "word_idxs": [int...],
+     "word_durations": [int...]}."""
+
+    def __init__(self, manifest_path: str,
+                 augmentations: Sequence[Callable] = ()):
+        self.entries = load_manifest(manifest_path)
+        self.augmentations = list(augmentations)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, i: int) -> TTSExample:
+        e = self.entries[i]
+        audio, _sr = read_wav(e["audio_filepath"])
+        for aug in self.augmentations:
+            audio = aug(audio)
+        return TTSExample(
+            tokens=np.asarray(e["tokens"], np.int32),
+            word_idxs=np.asarray(e["word_idxs"], np.int32),
+            word_durs=np.asarray(e["word_durations"], np.int32),
+            audio=audio.astype(np.float32))
+
+
+def collate_tts(examples: Sequence[TTSExample], token_bucket: int,
+                hop_length: int, max_frames: int) -> TTSBatch:
+    """Pad to fixed buckets; audio bucket = max_frames * hop (the
+    generator's static output bound)."""
+    B = len(examples)
+    audio_bucket = max_frames * hop_length
+    tokens = np.zeros((B, token_bucket), np.int32)
+    word_idxs = np.zeros((B, token_bucket), np.int32)
+    word_durs = np.zeros((B, token_bucket), np.int32)
+    audio = np.zeros((B, audio_bucket), np.float32)
+    token_lens = np.zeros(B, np.int32)
+    audio_lens = np.zeros(B, np.int32)
+    for i, ex in enumerate(examples):
+        n = min(len(ex.tokens), token_bucket)
+        tokens[i, :n] = ex.tokens[:n]
+        word_idxs[i, :n] = ex.word_idxs[:n]
+        token_lens[i] = n
+        m = min(len(ex.word_durs), token_bucket)
+        word_durs[i, :m] = ex.word_durs[:m]
+        a = min(len(ex.audio), audio_bucket)
+        audio[i, :a] = ex.audio[:a]
+        audio_lens[i] = a
+    return TTSBatch(tokens, token_lens, word_idxs, word_durs, audio,
+                    audio_lens)
+
+
+def tts_batches(dataset: SpeechSynthesisDataset, batch_size: int,
+                hop_length: int, max_frames: int,
+                token_bucket: int = 128,
+                shuffle_seed: Optional[int] = 0) -> Iterator[TTSBatch]:
+    order = np.arange(len(dataset))
+    if shuffle_seed is not None:
+        np.random.default_rng(shuffle_seed).shuffle(order)
+    pending: List[TTSExample] = []
+    for i in order:
+        pending.append(dataset[int(i)])
+        if len(pending) == batch_size:
+            yield collate_tts(pending, token_bucket, hop_length, max_frames)
+            pending = []
+    if pending:
+        while len(pending) < batch_size:
+            pending.append(pending[-1])
+        yield collate_tts(pending, token_bucket, hop_length, max_frames)

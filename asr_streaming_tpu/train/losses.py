@@ -71,11 +71,14 @@ def init_random_quantizer(key, feature_dim: int, encoder_dim: int,
 
 
 def random_quantization_loss(params: dict, encoded: jax.Array,
-                             lens: jax.Array, features: jax.Array
+                             lens: jax.Array, features: jax.Array,
+                             pos_mask: Optional[jax.Array] = None
                              ) -> jax.Array:
     """BEST-RQ SSL loss: targets from random-projection nearest codebook
     entries; AM-softmax on masked positions.  encoded: [B, T, E];
-    features: [B, T, F]."""
+    features: [B, T, F].  pos_mask ([B, T] bool, optional) restricts the
+    loss to specific positions (BEST-RQ scores only the masked spans —
+    train/ssl.py); default is all valid (non-padding) frames."""
     q = features @ params["projection"].T
     q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-9, None)
     cb = params["codebook"]
@@ -86,6 +89,8 @@ def random_quantization_loss(params: dict, encoded: jax.Array,
     targets = jnp.argmin(d2, axis=-1)                  # [B, T]
 
     mask = make_padding_mask(lens, encoded.shape[1])
+    if pos_mask is not None:
+        mask = mask & pos_mask
     flat_x = encoded.reshape(-1, encoded.shape[-1])
     flat_t = targets.reshape(-1)
     flat_m = mask.reshape(-1)
