@@ -123,6 +123,14 @@ def build_server(settings, max_slots=None):
         ngram_cost=settings.ngram_cost(),
         en_beam_partials=settings.en_beam_partials,
         en_beam_width=settings.en_beam_width)
+    dp = getattr(settings, "data_parallel", 1)
+    if dp == 0 or dp > 1:
+        # multi-chip serving: slot axis sharded over the local chips
+        # (parallel/serving.py); dp=0 means all of them
+        from asr_streaming_tpu.parallel.serving import make_serving_mesh
+        n = dp or len(jax.devices())
+        sched_kwargs["mesh"] = make_serving_mesh(n)
+        logging.info("serving data-parallel over %d chips", n)
     if settings.scheduler_groups > 1:
         from asr_streaming_tpu.streaming.scheduler import GroupedScheduler
         scheduler = GroupedScheduler(

@@ -56,6 +56,9 @@ class ServerSettings:
     scheduler_groups: int = 1        # slot groups ticked round-robin;
                                      # raise on low-RTT (local PCIe) hosts
                                      # for lower per-chunk latency
+    data_parallel: int = 1           # chips to shard the slot axis over
+                                     # (0 = all local chips); multi-chip
+                                     # serving via parallel/serving.py
     en_beam_partials: bool = False   # EN: carried-hypothesis beam per chunk
     en_beam_width: int = 10
     lm_weight: float = 1.0
@@ -85,7 +88,7 @@ class ServerSettings:
                     "vad_weights", "doc_root", "certificate", "speaker_wav",
                     "speaker_weights",
                     "use_silero", "upload_encoding", "en_beam_partials",
-                    "en_beam_width", "scheduler_groups",
+                    "en_beam_width", "scheduler_groups", "data_parallel",
                     "lm_weight", "beam_size", "beam_size_token",
                     "beam_threshold", "word_score",
                     "max_active_connections"):

@@ -145,3 +145,13 @@ def test_sharded_rnnt_step_matches():
     got = sh_step(params, seg, flags0, active, flags0, flags0, st, sctx, sem)
     _tree_allclose(got.pack, ref.pack, rtol=1e-5, atol=1e-5)
     _tree_allclose(got.state, ref.state, rtol=1e-5, atol=1e-5)
+
+
+def test_server_settings_data_parallel(tmp_path):
+    """data_parallel flows YAML -> ServerSettings -> scheduler mesh."""
+    from asr_streaming_tpu.server.config import ServerSettings
+    p = tmp_path / "s.yaml"
+    p.write_text("language: vi\ndata_parallel: 8\nuse_silero: false\n")
+    s = ServerSettings.load(str(p), env={})
+    assert s.data_parallel == 8
+    assert ServerSettings.load(None, env={}).data_parallel == 1

@@ -203,3 +203,56 @@ def test_tts_collate_shapes():
     assert b.tokens.shape == (2, 16)
     assert b.audio.shape == (2, cfg.tts.max_frames * cfg.tts.hop_length)
     assert b.token_lens.tolist() == [6, 6]
+
+
+# --------------------------------------------------------------- speaker
+
+def test_speaker_train_step_improves():
+    from asr_streaming_tpu.train.speaker import (
+        SpeakerTrainConfig, init_speaker_params, make_speaker_train_step,
+    )
+    cfg = SpeakerTrainConfig.tiny(num_speakers=3)
+    params = init_speaker_params(jax.random.PRNGKey(0), cfg)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_speaker_train_step(cfg, optimizer))
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((6, 50, cfg.ecapa.n_mels)),
+                        jnp.float32)
+    lens = jnp.full((6,), 50, jnp.int32)
+    labels = jnp.asarray([0, 1, 2, 0, 1, 2], jnp.int32)
+    losses = []
+    for _ in range(6):
+        params, opt_state, loss = step(params, opt_state, feats, lens,
+                                       labels)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+
+def test_speaker_driver_tiny(tmp_path):
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(4):
+        p = tmp_path / f"s{i}.wav"
+        with wave_mod.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((rng.standard_normal(8000) * 3000
+                           ).astype(np.int16).tobytes())
+        entries.append({"audio_filepath": str(p), "label": f"spk{i % 2}"})
+    manifest = tmp_path / "spk.jsonl"
+    manifest.write_text("\n".join(json.dumps(e) for e in entries))
+
+    from asr_streaming_tpu.train import speaker as spk_mod
+    spk_mod.main(["--manifest", str(manifest), "--steps", "2",
+                  "--batch-size", "2", "--seconds", "0.5", "--tiny",
+                  "--save", str(tmp_path / "ecapa.npz")])
+    # saved params load into the verifier's expected layout
+    from asr_streaming_tpu.models.ecapa import (
+        EcapaConfig, init_ecapa_params,
+    )
+    from asr_streaming_tpu.utils.checkpoint import load_params
+    like = init_ecapa_params(jax.random.PRNGKey(0), EcapaConfig.tiny())
+    loaded = load_params(str(tmp_path / "ecapa.npz"), like=like)
+    assert jax.tree.structure(loaded) == jax.tree.structure(like)
