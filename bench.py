@@ -32,11 +32,13 @@ SLOTS = 512
 # 1024 slots measured WORSE on this link (1693 streams / 387 ms round vs
 # 2821 / 116 ms at 512): host gather and the tunnel upload go superlinear
 # (16 -> 190 ms) and the device step 4x's (emission-buffer HBM pressure).
-# Slot groups: >1 shrinks per-chunk latency when the host<->device link
-# is local (PCIe); on this remote tunnel the per-tick round-trip cost
-# dominates small ticks (measured: 4 groups = 817 streams / p50 834 ms
-# vs monolithic 1899 streams), so the bench runs monolithic ticks.
-GROUPS = 1
+# Slot groups: smaller round-robin groups shrink per-chunk latency; too
+# many and the per-tick link round trip dominates.  Measured on this
+# tunnel with the Pallas append kernel (streams / p50 ms):
+#   1 group: 2821 / 220    2 groups: 3036 / 183    4 groups: 2024 / 216
+# Two 256-slot groups win on BOTH axes; on local-PCIe hosts (tiny RTT)
+# more groups keep paying off.
+GROUPS = 2
 ROUNDS_A = 16          # full-service rounds in the throughput phase
 SECONDS_B = 10.0       # paced-load latency phase duration
 
