@@ -254,7 +254,13 @@ class StreamingServer:
         ev = StreamEvent(stream_id=stream.id, kind="__barrier__")
         ev._barrier = barrier
         outbox.put_nowait(ev)
-        await barrier.wait()
+        # bounded: the sender services barriers even on a dead connection,
+        # but a stuck final rescore ahead of the barrier must not strand
+        # this handler (and its slot) forever
+        try:
+            await asyncio.wait_for(barrier.wait(), timeout=60.0)
+        except asyncio.TimeoutError:
+            logger.warning("EOS flush barrier timed out for %s", stream.id)
         if stream.emission_length > 0:
             # force-final the remaining utterance
             utt = stream.total_seconds_decoded
@@ -270,12 +276,22 @@ class StreamingServer:
 
     async def _sender(self, connection: ServerConnection, stream: Stream,
                       outbox: asyncio.Queue):
+        # Keep consuming after the connection dies instead of returning:
+        # the handler may be parked in _flush_eos awaiting a __barrier__
+        # event, and an exited sender would strand it forever — the slot,
+        # the admission count, and the outbox all leak (observed as a
+        # whole load-test's connections still "active" after the clients
+        # vanished).  The handler cancels this task in its finally.
+        closed = False
         while True:
             ev: StreamEvent = await outbox.get()
+            if ev.kind == "__barrier__":
+                ev._barrier.set()
+                continue
+            if closed:
+                continue
             try:
-                if ev.kind == "__barrier__":
-                    ev._barrier.set()
-                elif ev.is_final:
+                if ev.is_final:
                     await self._send_final(connection, ev)
                 elif self.send_internal and ev.text.strip():
                     result = DecodedResult()
@@ -285,7 +301,7 @@ class StreamingServer:
                     }
                     await connection.send(result.to_json())
             except websockets.exceptions.ConnectionClosed:
-                return
+                closed = True
             except Exception:
                 logger.exception("send failed for %s", ev.stream_id)
 

@@ -145,3 +145,35 @@ def test_parse_text_message():
     assert cmd.sample_rate == 44100
     assert cmd.request_id == "r1"
     assert parse_text_message("garbage{").kind == "unknown"
+
+
+def test_sender_services_barrier_after_connection_closed():
+    """Regression: a dead connection must not strand _flush_eos's
+    __barrier__ event — the sender used to exit on ConnectionClosed,
+    leaking the handler, the slot, and the admission count (observed as
+    a whole load-test's connections still 'active' after the clients
+    vanished)."""
+    from asr_streaming_tpu.streaming.scheduler import StreamEvent
+
+    server = build_server()
+
+    class DeadConnection:
+        async def send(self, *_a, **_k):
+            raise websockets.exceptions.ConnectionClosedOK(None, None)
+
+    async def run():
+        outbox = asyncio.Queue()
+        sender = asyncio.create_task(
+            server._sender(DeadConnection(), None, outbox))
+        # a partial send fails (connection dead) ...
+        outbox.put_nowait(StreamEvent(stream_id="s", kind="partial",
+                                      text="xin chao"))
+        # ... and the barrier queued behind it MUST still be set
+        barrier = asyncio.Event()
+        ev = StreamEvent(stream_id="s", kind="__barrier__")
+        ev._barrier = barrier
+        outbox.put_nowait(ev)
+        await asyncio.wait_for(barrier.wait(), timeout=5)
+        sender.cancel()
+
+    asyncio.run(run())
