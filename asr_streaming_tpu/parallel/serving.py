@@ -115,8 +115,11 @@ def shard_serving_arrays(cfg: ServingConfig, mesh: Mesh, state, ctx,
 
 def make_serving_mesh(n_chips: Optional[int] = None) -> Mesh:
     """('data', 'model'=1) mesh over the local chips for serving."""
-    import numpy as np
-    devices = jax.devices()
-    n = n_chips or len(devices)
-    return Mesh(np.asarray(devices[:n]).reshape(n, 1),
-                axis_names=("data", "model"))
+    from asr_streaming_tpu.parallel.mesh import make_mesh
+    avail = len(jax.devices())
+    n = n_chips or avail
+    if n > avail:
+        raise ValueError(
+            f"data_parallel={n} chips requested but only {avail} "
+            f"visible to jax ({jax.default_backend()})")
+    return make_mesh(n, model_parallel=1)

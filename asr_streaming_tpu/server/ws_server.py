@@ -254,13 +254,23 @@ class StreamingServer:
         ev = StreamEvent(stream_id=stream.id, kind="__barrier__")
         ev._barrier = barrier
         outbox.put_nowait(ev)
-        # bounded: the sender services barriers even on a dead connection,
-        # but a stuck final rescore ahead of the barrier must not strand
-        # this handler (and its slot) forever
-        try:
-            await asyncio.wait_for(barrier.wait(), timeout=60.0)
-        except asyncio.TimeoutError:
-            logger.warning("EOS flush barrier timed out for %s", stream.id)
+        # The sender services barriers even on a dead connection.  A LIVE
+        # connection waits as long as it takes (a backlogged rescore must
+        # not trigger a premature force-final + __REQUEST_COMPLETED__
+        # ahead of the real final — a protocol-order violation); only a
+        # CLOSED connection gets a bounded grace so a stuck sender can't
+        # strand the handler and leak the slot.
+        while not barrier.is_set():
+            try:
+                await asyncio.wait_for(barrier.wait(), timeout=5.0)
+            except asyncio.TimeoutError:
+                if connection.close_code is not None:   # connection dead
+                    try:
+                        await asyncio.wait_for(barrier.wait(), timeout=30.0)
+                    except asyncio.TimeoutError:
+                        logger.warning("EOS flush barrier abandoned for "
+                                       "dead connection %s", stream.id)
+                    break
         if stream.emission_length > 0:
             # force-final the remaining utterance
             utt = stream.total_seconds_decoded

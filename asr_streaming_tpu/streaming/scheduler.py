@@ -138,7 +138,6 @@ class Scheduler:
         # params are an explicit argument (NOT a closure capture): captured
         # arrays are serialized into the remote compile request, which
         # overflows the axon tunnel's body limit (HTTP 413) at EN scale.
-        donate = (6, 7, 8) if donate_state else ()
         self.mesh = mesh
         if mesh is not None:
             # Multi-chip data-parallel serving: slots sharded over the
@@ -156,6 +155,7 @@ class Scheduler:
                 shard_serving_arrays(cfg, mesh, self.device_state,
                                      self.audio_ctx, self.emission_buf)
         else:
+            donate = (6, 7, 8) if donate_state else ()
             step_fn = make_serving_step(cfg)
 
             def _stepper(params, segment, contain, active, new_stream,
@@ -458,6 +458,12 @@ class GroupedScheduler:
                  groups: int = 4, **kwargs):
         groups = max(1, min(groups, max_slots))
         per = -(-max_slots // groups)          # ceil; capacity >= max_slots
+        mesh = kwargs.get("mesh")
+        if mesh is not None:
+            # each group's slots shard over the mesh's data axis; round
+            # the group size up so any (groups, data_parallel) pair works
+            dp = mesh.shape["data"]
+            per = -(-per // dp) * dp
         self.groups = [Scheduler(params, cfg, vocab, max_slots=per,
                                  **kwargs) for _ in range(groups)]
         self.cfg = cfg

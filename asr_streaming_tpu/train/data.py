@@ -240,7 +240,10 @@ def collate_tts(examples: Sequence[TTSExample], token_bucket: int,
     B = len(examples)
     audio_bucket = max_frames * hop_length
     tokens = np.zeros((B, token_bucket), np.int32)
-    word_idxs = np.zeros((B, token_bucket), np.int32)
+    # word_level_pooling treats only NEGATIVE ids as padding (see the
+    # synthesize() contract) — 0-padding would pool every pad token into
+    # word 0, contaminating its embedding and inflating its duration
+    word_idxs = np.full((B, token_bucket), -1, np.int32)
     word_durs = np.zeros((B, token_bucket), np.int32)
     audio = np.zeros((B, audio_bucket), np.float32)
     token_lens = np.zeros(B, np.int32)

@@ -155,3 +155,22 @@ def test_server_settings_data_parallel(tmp_path):
     s = ServerSettings.load(str(p), env={})
     assert s.data_parallel == 8
     assert ServerSettings.load(None, env={}).data_parallel == 1
+
+
+def test_grouped_scheduler_with_mesh_rounds_group_size():
+    """groups x data_parallel combinations must not crash: per-group
+    slots round up to a multiple of the mesh's data size."""
+    from asr_streaming_tpu.streaming.scheduler import GroupedScheduler
+    cfg = _tiny_cfg()
+    params = init_serving_params(jax.random.PRNGKey(0), cfg)
+    vocab = placeholder_vocab(cfg.asr.encoder.vocab_size)
+    mesh = make_serving_mesh(8)
+    g = GroupedScheduler(params, cfg, vocab, max_slots=20, groups=3,
+                         mesh=mesh)
+    assert all(grp.max_slots % 8 == 0 for grp in g.groups)
+    assert g.max_slots >= 20
+
+
+def test_make_serving_mesh_validates_device_count():
+    with pytest.raises(ValueError, match="chips requested"):
+        make_serving_mesh(999)

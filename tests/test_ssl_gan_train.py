@@ -201,6 +201,10 @@ def test_tts_collate_shapes():
                     hop_length=cfg.tts.hop_length,
                     max_frames=cfg.tts.max_frames)
     assert b.tokens.shape == (2, 16)
+    # pads must be NEGATIVE word ids (word_level_pooling's pad marker) —
+    # 0-padding pooled every pad token into word 0
+    assert (b.word_idxs[:, 6:] == -1).all()
+    assert (b.word_idxs[:, :6] >= 0).all()
     assert b.audio.shape == (2, cfg.tts.max_frames * cfg.tts.hop_length)
     assert b.token_lens.tolist() == [6, 6]
 
