@@ -254,7 +254,25 @@ def main():
     server = build_server(settings)
     server.max_message_size = args.max_message_size
     server.max_queue_size = args.max_queue_size
-    asyncio.run(server.run(args.port))
+
+    # Run the asyncio loop on a SECONDARY thread and park the main
+    # thread.  The axon remote-PJRT backend deadlocks when the main
+    # thread runs a busy event loop concurrently with device work from
+    # any thread (the harvest's device->host wait never completes —
+    # minimal repro: a bare jitted matmul on a worker thread hangs while
+    # main runs `asyncio.sleep` timers).  With the loop on a non-main
+    # thread the same workload completes.  Device ticks already run on
+    # the scheduler's dedicated tick thread either way.
+    import threading
+
+    t = threading.Thread(
+        target=lambda: asyncio.run(server.run(args.port)),
+        name="asyncio-loop", daemon=True)
+    t.start()
+    try:
+        t.join()
+    except KeyboardInterrupt:
+        logging.info("interrupted — shutting down")
 
 
 if __name__ == "__main__":

@@ -87,7 +87,8 @@ class StreamingServer:
         self.en_rescorer = en_rescorer
 
         self._outboxes: dict[str, asyncio.Queue] = {}
-        self._tick_boundary: Optional[asyncio.Condition] = None
+        # rotating asyncio.Event: set + replaced at every tick boundary
+        self._tick_boundary: Optional[asyncio.Event] = None
         self.archiver = None
         if save_audio_dir:   # reference's save_audio / audio_cache feature
             from asr_streaming_tpu.utils.observability import AudioArchiver
@@ -95,7 +96,10 @@ class StreamingServer:
                 save_audio_dir, scheduler.cfg.asr.audio.sample_rate)
         self._rescore_pool = ThreadPoolExecutor(max_workers=4,
                                                 thread_name_prefix="rescore")
-        self._tick_task: Optional[asyncio.Task] = None
+        # Dedicated free-running tick THREAD (see _tick_thread_main for
+        # why it is not an asyncio task driving run_in_executor).
+        self._tick_thread: Optional[object] = None
+        self._tick_task = None   # back-compat for tests that cancel it
         self.language = scheduler.language
 
     # -------------------------------------------------------------- requests
@@ -131,32 +135,69 @@ class StreamingServer:
 
     # ------------------------------------------------------------- tick loop
 
-    async def _tick_loop(self):
-        """Run scheduler ticks forever; survive per-tick failures
-        (log-and-continue, the reference's per-stage resilience posture —
-        streaming_server.py:393-465)."""
-        loop = asyncio.get_running_loop()
-        self._tick_boundary = asyncio.Condition()
-        while True:
+    def _tick_thread_main(self, loop, compiled):
+        """Free-running tick thread: warmup, then ticks forever; survive
+        per-tick failures (log-and-continue, the reference's per-stage
+        resilience posture — streaming_server.py:393-465).
+
+        This is a dedicated plain thread, NOT an asyncio task awaiting
+        run_in_executor per tick: on the axon remote-PJRT backend, device
+        waits deadlock when interleaved with the event loop's per-tick
+        future round trips (empirically: executor-driven ticks hang on
+        the second harvest while a free-running thread is fine).  Events
+        and tick-boundary notifications cross back into the loop via
+        call_soon_threadsafe.
+        """
+        import time as _time
+
+        try:
+            secs = self.scheduler.warmup()
+            loop.call_soon_threadsafe(compiled.set_result, secs)
+        except BaseException as e:
+            loop.call_soon_threadsafe(compiled.set_exception, e)
+            return
+        while not loop.is_closed():
             try:
                 if self.scheduler.has_work():
-                    events = await loop.run_in_executor(
-                        None, self.scheduler.tick)
-                    for ev in events:
-                        q = self._outboxes.get(ev.stream_id)
-                        if q is not None:
-                            q.put_nowait(ev)
-                    async with self._tick_boundary:
-                        self._tick_boundary.notify_all()
+                    events = self.scheduler.tick()
+                    loop.call_soon_threadsafe(self._deliver_events, events)
                 else:
-                    async with self._tick_boundary:
-                        self._tick_boundary.notify_all()
-                    await asyncio.sleep(self.tick_idle_sleep)
-            except asyncio.CancelledError:
-                raise
+                    loop.call_soon_threadsafe(self._notify_boundary)
+                    _time.sleep(self.tick_idle_sleep)
+            except RuntimeError:
+                if loop.is_closed():    # call_soon_threadsafe after close
+                    return
+                logger.exception("tick failed; continuing")
+                _time.sleep(0.05)
             except Exception:
                 logger.exception("tick failed; continuing")
-                await asyncio.sleep(0.05)
+                _time.sleep(0.05)
+
+    def _deliver_events(self, events):
+        """Runs on the loop thread: route events + release boundary
+        waiters."""
+        for ev in events:
+            q = self._outboxes.get(ev.stream_id)
+            if q is not None:
+                q.put_nowait(ev)
+        self._notify_boundary()
+
+    def _notify_boundary(self):
+        """Rotate the boundary event (loop thread only): everyone who
+        grabbed the previous event wakes; later waiters get the next."""
+        ev = self._tick_boundary
+        self._tick_boundary = asyncio.Event()
+        if ev is not None:
+            ev.set()
+
+    async def _wait_tick_boundary(self):
+        """Await the next tick-loop iteration boundary (or a short sleep
+        when no tick thread is running — unit tests)."""
+        ev = self._tick_boundary
+        if ev is not None:
+            await ev.wait()
+        else:
+            await asyncio.sleep(0.002)
 
     # -------------------------------------------------------------- handlers
 
@@ -233,21 +274,15 @@ class StreamingServer:
                 # wake once per tick instead of busy-polling (the 2 ms
                 # sleep loop degraded under load); the sleep fallback only
                 # applies when no tick loop is running (unit tests)
-                if self._tick_boundary is not None:
-                    async with self._tick_boundary:
-                        await self._tick_boundary.wait()
-                else:
-                    await asyncio.sleep(0.002)
+                await self._wait_tick_boundary()
             if stream.buffer.size <= stream.audio.buffer_length:
                 break   # only carried context left — nothing undecoded
             stream.add_tail_padding()
         # wait for two tick-loop iteration boundaries so the tick that
         # consumed the last chunk has fully enqueued its events (the
         # buffer empties mid-tick, before events are enqueued)
-        if self._tick_boundary is not None:
-            for _ in range(2):
-                async with self._tick_boundary:
-                    await self._tick_boundary.wait()
+        for _ in range(2):
+            await self._wait_tick_boundary()
         # barrier through the outbox: guarantees every already-queued
         # event (including in-flight finals) is fully sent first
         barrier = asyncio.Event()
@@ -396,10 +431,17 @@ class StreamingServer:
             ssl_context.load_cert_chain(self.certificate)
         logger.info("compiling %d-slot serving step...",
                     self.scheduler.max_slots)
+        import threading
+
         loop = asyncio.get_running_loop()
-        compile_s = await loop.run_in_executor(None, self.scheduler.warmup)
+        self._tick_boundary = asyncio.Event()
+        compiled: asyncio.Future = loop.create_future()
+        self._tick_thread = threading.Thread(
+            target=self._tick_thread_main, args=(loop, compiled),
+            name="tick", daemon=True)
+        self._tick_thread.start()
+        compile_s = await compiled
         logger.info("serving step compiled in %.1fs", compile_s)
-        self._tick_task = asyncio.create_task(self._tick_loop())
         async with serve(
             self.handler, host=host or None, port=port,
             max_size=self.max_message_size,

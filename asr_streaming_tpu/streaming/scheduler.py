@@ -296,7 +296,24 @@ class Scheduler:
         if self._pending and (len(self._pending) >= self.pipeline_depth
                               or not ready):
             out_prev, ready_prev, t_dispatch = self._pending.popleft()
-            pack = np.asarray(out_prev.pack)    # blocks until done
+            # Watchdog: a harvest should take ~the device step (tens of
+            # ms).  A multi-minute block means the backend lost the
+            # result (observed on the axon remote backend when an
+            # asyncio event loop churns in the same process) — log
+            # loudly so operators see a diagnosis instead of a silent
+            # stall.
+            import logging
+            import threading as _threading
+            wd = _threading.Timer(60.0, lambda: logging.getLogger(
+                __name__).error(
+                "harvest blocked >60s — device result never arrived "
+                "(backend wedged?); see NOTES_r2.md axon notes"))
+            wd.daemon = True
+            wd.start()
+            try:
+                pack = np.asarray(out_prev.pack)    # blocks until done
+            finally:
+                wd.cancel()
             self.pending_slots = {slot for _, batch, _ in self._pending
                                   for slot, _ in batch}
             self.timers.observe("device_step",
