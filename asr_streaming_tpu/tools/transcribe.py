@@ -27,6 +27,13 @@ def main():
     parser.add_argument("--lm", default=None)
     parser.add_argument("--align", default=None,
                         help="transcript to force-align instead of decode")
+    parser.add_argument("--segment", action="store_true",
+                        help="long-audio mode: VAD-segment into 3-15 s "
+                        "speech groups and transcribe each with "
+                        "timestamps (reference v1 detection.py flow)")
+    parser.add_argument("--vad-weights", default=None,
+                        help="silero npz/onnx for --segment (random "
+                        "weights give poor segment boundaries)")
     args = parser.parse_args()
 
     from asr_streaming_tpu.models.api import ASRModel
@@ -52,6 +59,44 @@ def main():
         for w in words:
             print(f"{w.start:7.2f} {w.end:7.2f}  {w.label}"
                   f"  ({w.score:.2f})")
+        return
+
+    if args.segment:
+        # long-audio pipeline: Silero timestamps -> 3-15 s groups ->
+        # per-group decode (reference v1 models/detection.py:17-292)
+        import jax
+
+        from asr_streaming_tpu.models.segmenter import (
+            get_speech_timestamps, group_segments,
+        )
+        from asr_streaming_tpu.models.vad import (
+            SileroConfig, init_silero_params, silero_params_from_onnx,
+        )
+
+        scfg = SileroConfig()
+        if args.vad_weights and args.vad_weights.endswith(".onnx"):
+            from asr_streaming_tpu.tools.onnx_weights import (
+                load_onnx_initializers,
+            )
+            vad_params = silero_params_from_onnx(
+                load_onnx_initializers(args.vad_weights), scfg)
+        elif args.vad_weights:
+            from asr_streaming_tpu.utils.checkpoint import load_params
+            like = init_silero_params(jax.random.PRNGKey(0), scfg)
+            vad_params = load_params(args.vad_weights, like=like)
+        else:
+            vad_params = init_silero_params(jax.random.PRNGKey(0), scfg)
+        sr16 = model.cfg.audio.sample_rate
+        # timestamps come back in seconds (segmenter.py)
+        segments = get_speech_timestamps(vad_params, scfg, wave)
+        groups = group_segments(segments)
+        for g in groups:
+            lo = int(g["start"] * sr16)
+            hi = int(g["end"] * sr16)
+            text = model.transcribe(wave[lo:hi])
+            print(f"{g['start']:7.2f} {g['end']:7.2f}  {text}")
+        if not groups:
+            print("(no speech segments found)")
         return
 
     print("greedy:", model.transcribe(wave))

@@ -60,3 +60,36 @@ def test_cli_with_hyp_manifest(tmp_path, capsys):
     assert out["ref_words"] == 5
     assert out["substitutions"] == 1
     assert out["wer"] == 0.2
+
+
+def test_transcribe_segment_mode(tmp_path, capsys, monkeypatch):
+    """Long-audio --segment mode: VAD timestamps -> groups -> per-group
+    decode, with a tiny model."""
+    import sys
+    import wave as wave_mod
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    p = tmp_path / "long.wav"
+    with wave_mod.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((rng.standard_normal(16000 * 6) * 8000
+                       ).astype(np.int16).tobytes())
+
+    from asr_streaming_tpu.models.api import ASRModel
+    from asr_streaming_tpu.models.asr import ASRConfig
+    orig_init = ASRModel.__init__
+
+    def tiny_init(self, cfg=None, **kw):
+        orig_init(self, cfg=ASRConfig.tiny(), use_corpus=False, **{
+            k: v for k, v in kw.items() if k not in ("use_corpus",)})
+
+    monkeypatch.setattr(ASRModel, "__init__", tiny_init)
+    monkeypatch.setattr(sys, "argv",
+                        ["transcribe", str(p), "--segment"])
+    from asr_streaming_tpu.tools.transcribe import main as tmain
+    tmain()
+    out = capsys.readouterr().out
+    assert out.strip()          # printed either groups or the no-speech line
