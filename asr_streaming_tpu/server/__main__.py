@@ -18,6 +18,15 @@ import numpy as np
 
 
 def build_server(settings, max_slots=None):
+    if getattr(settings, "device_worker", False):
+        # Device-process isolation: the serving step runs in a spawned
+        # child on the accelerator; THIS process (connections, rescorers,
+        # text) pins jax to CPU so it never touches the device
+        # (streaming/device_worker.py).  Must happen before any jax op.
+        jax.config.update("jax_platforms", "cpu")
+        logging.info("device_worker: serving step in a child process; "
+                     "server process pinned to CPU jax")
+
     from asr_streaming_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()   # warm restarts skip the minutes-long XLA compile
 
@@ -131,11 +140,21 @@ def build_server(settings, max_slots=None):
         n = dp or len(jax.devices())
         sched_kwargs["mesh"] = make_serving_mesh(n)
         logging.info("serving data-parallel over %d chips", n)
-    if settings.scheduler_groups > 1:
+    if getattr(settings, "device_worker", False):
+        sched_kwargs["device_worker"] = dict(
+            seed=0, checkpoint=settings.checkpoint,
+            vad_weights=settings.vad_weights)
+    groups = settings.scheduler_groups
+    if groups > 1 and "device_worker" in sched_kwargs:
+        logging.warning("device_worker uses one device process — "
+                        "scheduler_groups=%d ignored (monolithic ticks)",
+                        groups)
+        groups = 1
+    if groups > 1:
         from asr_streaming_tpu.streaming.scheduler import GroupedScheduler
         scheduler = GroupedScheduler(
             params, cfg, vocab, max_slots=slots,
-            groups=settings.scheduler_groups, **sched_kwargs)
+            groups=groups, **sched_kwargs)
     else:
         scheduler = Scheduler(params, cfg, vocab, max_slots=slots,
                               **sched_kwargs)

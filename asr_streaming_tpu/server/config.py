@@ -59,6 +59,9 @@ class ServerSettings:
     data_parallel: int = 1           # chips to shard the slot axis over
                                      # (0 = all local chips); multi-chip
                                      # serving via parallel/serving.py
+    device_worker: bool = False      # run the serving step in a spawned
+                                     # device process (GIL + event-loop
+                                     # isolation; streaming/device_worker)
     en_beam_partials: bool = False   # EN: carried-hypothesis beam per chunk
     en_beam_width: int = 10
     lm_weight: float = 1.0
@@ -89,6 +92,7 @@ class ServerSettings:
                     "speaker_weights",
                     "use_silero", "upload_encoding", "en_beam_partials",
                     "en_beam_width", "scheduler_groups", "data_parallel",
+                    "device_worker",
                     "lm_weight", "beam_size", "beam_size_token",
                     "beam_threshold", "word_score",
                     "max_active_connections"):

@@ -1,0 +1,291 @@
+"""Device-process isolation: the serving step in a dedicated child process.
+
+Motivation (two independent production wins):
+
+* **GIL isolation** — under live websocket load the scheduler's host
+  phases contend with hundreds of connection handlers for the server
+  process's GIL (measured: gather 9 ms in bench vs ~100 ms inside the
+  live server at 1000 connections).  In worker mode the device process
+  runs nothing but the tick pipeline.
+* **Event-loop isolation** — the axon remote-PJRT backend can deadlock
+  when an asyncio event loop runs in the same process as device work
+  (NOTES_r2.md); the worker process has no event loop at all.
+
+Architecture: the parent keeps the Scheduler's host half (streams,
+gather/scatter, endpointing); the audio staging buffers live in POSIX
+shared memory that the parent writes directly (zero extra copies), and a
+pipe carries tiny control messages:
+
+    parent                         worker (spawned, fresh jax)
+    ------                         --------------------------
+    gather -> staging shm
+    "dispatch idx,flags"  ----->   jnp.asarray(staging[idx]); step async
+    "harvest"             ----->   np.asarray(oldest pack) -> pack shm
+    pack shm <-----------------    "ok"
+    "fetch slot,len"      ----->   emission slice -> fetch shm
+
+The worker rebuilds params deterministically from (seed, checkpoint,
+vad_weights) — jax PRNG is deterministic across processes, so
+parent-side rescorers that need CPU copies of the same params agree.
+
+Reference: the reference isolates GPU work per docker worker process
+(docker-compose.yml); this is the in-framework equivalent with
+shared-memory transport instead of a network hop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import multiprocessing as mp
+import pickle
+import time
+from multiprocessing import shared_memory
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class WorkerInit:
+    """Everything the worker needs to rebuild the device side."""
+    cfg_bytes: bytes            # pickled ServingConfig
+    max_slots: int
+    seed: int = 0
+    checkpoint: Optional[str] = None
+    vad_weights: Optional[str] = None
+    platform: Optional[str] = None   # force jax platform (tests: "cpu")
+    pipeline_depth: int = 1
+
+
+class DeviceWorkerClient:
+    """Parent-side handle; the call surface the Scheduler's device
+    phases map onto."""
+
+    def __init__(self, cfg, max_slots: int, *, seed: int = 0,
+                 checkpoint: Optional[str] = None,
+                 vad_weights: Optional[str] = None,
+                 platform: Optional[str] = None,
+                 pipeline_depth: int = 1):
+        from asr_streaming_tpu.models.serving import emission_width
+
+        self.cfg = cfg
+        self.max_slots = max_slots
+        seg_len = cfg.asr.audio.segment_length
+        self._seg_dtype = np.uint8 if cfg.upload_encoding == "mulaw" \
+            else np.int16
+        depth = max(1, pipeline_depth) + 1
+        self._staging_shm = shared_memory.SharedMemory(
+            create=True,
+            size=depth * max_slots * seg_len * self._seg_dtype().nbytes)
+        self.staging = np.ndarray((depth, max_slots, seg_len),
+                                  self._seg_dtype,
+                                  buffer=self._staging_shm.buf)
+        self._fetch_width = emission_width(cfg)
+        self._fetch_shm = shared_memory.SharedMemory(
+            create=True,
+            size=cfg.max_emission_frames * self._fetch_width * 4)
+        self._fetch_arr = np.ndarray(
+            (cfg.max_emission_frames, self._fetch_width), np.float32,
+            buffer=self._fetch_shm.buf)
+
+        ctx = mp.get_context("spawn")
+        self._conn, child_conn = ctx.Pipe()
+        init = WorkerInit(cfg_bytes=pickle.dumps(cfg),
+                          max_slots=max_slots, seed=seed,
+                          checkpoint=checkpoint, vad_weights=vad_weights,
+                          platform=platform,
+                          pipeline_depth=pipeline_depth)
+        self._proc = ctx.Process(
+            target=_worker_main,
+            args=(child_conn, init, self._staging_shm.name,
+                  self._fetch_shm.name),
+            name="asr-device-worker", daemon=True)
+        self._proc.start()
+        child_conn.close()
+        self._pack_shm = None
+        self._pack_arr = None
+
+    # ------------------------------------------------------------- calls
+
+    def warmup(self, timeout: float = 900.0) -> float:
+        self._conn.send(("warmup",))
+        kind, payload = self._recv(timeout)
+        assert kind == "warm", payload
+        secs, pack_shm_name, pack_shape = payload
+        self._pack_shm = shared_memory.SharedMemory(name=pack_shm_name)
+        self._pack_arr = np.ndarray(tuple(pack_shape), np.float32,
+                                    buffer=self._pack_shm.buf)
+        return secs
+
+    def dispatch(self, staging_idx: int, contain, active, new_stream,
+                 reset) -> None:
+        """Non-blocking: the worker enqueues the (async) device step."""
+        self._conn.send(("dispatch", staging_idx,
+                         np.packbits(contain), np.packbits(active),
+                         np.packbits(new_stream), np.packbits(reset)))
+
+    def harvest(self, timeout: float = 600.0) -> np.ndarray:
+        """Blocks until the OLDEST in-flight step's pack is host-side."""
+        self._conn.send(("harvest",))
+        kind, payload = self._recv(timeout)
+        assert kind == "pack", payload
+        return self._pack_arr.copy()
+
+    def fetch_emission(self, slot: int, length: int,
+                       timeout: float = 600.0) -> np.ndarray:
+        self._conn.send(("fetch", int(slot), int(length)))
+        kind, payload = self._recv(timeout)
+        assert kind == "emission", payload
+        n = payload
+        return self._fetch_arr[:n].copy()
+
+    def close(self) -> None:
+        try:
+            self._conn.send(("stop",))
+        except (BrokenPipeError, OSError):
+            pass
+        self._proc.join(timeout=10)
+        if self._proc.is_alive():
+            self._proc.terminate()
+        for shm in (self._staging_shm, self._fetch_shm, self._pack_shm):
+            if shm is not None:
+                try:
+                    shm.close()
+                    shm.unlink()
+                except FileNotFoundError:
+                    pass
+
+    # ----------------------------------------------------------- internal
+
+    def _recv(self, timeout: float):
+        if not self._conn.poll(timeout):
+            raise TimeoutError(
+                f"device worker unresponsive after {timeout}s "
+                f"(alive={self._proc.is_alive()})")
+        msg = self._conn.recv()
+        if msg[0] == "error":
+            raise RuntimeError(f"device worker error:\n{msg[1]}")
+        return msg
+
+
+def _worker_main(conn, init: WorkerInit, staging_name: str,
+                 fetch_name: str) -> None:
+    """Child process: owns params, device state, and the jitted step."""
+    import traceback
+
+    try:
+        import jax
+
+        if init.platform:
+            jax.config.update("jax_platforms", init.platform)
+        import jax.numpy as jnp
+
+        from asr_streaming_tpu.models.serving import (
+            _emission_packed, _unpack_f16_rows, emission_width,
+            init_audio_context, init_emission_buffer, init_serving_params,
+            init_serving_state, make_emission_fetcher, make_serving_step,
+        )
+
+        cfg = pickle.loads(init.cfg_bytes)
+        B = init.max_slots
+        params = init_serving_params(jax.random.PRNGKey(init.seed), cfg)
+        if init.checkpoint:
+            from asr_streaming_tpu.utils.checkpoint import load_params
+            params = load_params(init.checkpoint, like=params)
+        if init.vad_weights:
+            if init.vad_weights.endswith(".onnx"):
+                from asr_streaming_tpu.models.vad import (
+                    silero_params_from_onnx,
+                )
+                from asr_streaming_tpu.tools.onnx_weights import (
+                    load_onnx_initializers,
+                )
+                params["vad"] = silero_params_from_onnx(
+                    load_onnx_initializers(init.vad_weights), cfg.silero)
+            else:
+                from asr_streaming_tpu.utils.checkpoint import load_params
+                loaded = load_params(init.vad_weights,
+                                     like={"vad": params["vad"]})
+                params["vad"] = loaded["vad"]
+
+        state = init_serving_state(cfg, B)
+        ctx_arr = init_audio_context(cfg, B)
+        emission = init_emission_buffer(cfg, B)
+        fetcher = make_emission_fetcher(cfg)
+        step_fn = make_serving_step(cfg)
+
+        def _stepper(params, segment, contain, active, new_stream, reset,
+                     state, ctx, emission):
+            return step_fn(params, cfg, segment, contain, active,
+                           new_stream, reset, state, ctx, emission)
+
+        step = jax.jit(_stepper, donate_argnums=(6, 7, 8))
+
+        seg_dtype = np.uint8 if cfg.upload_encoding == "mulaw" else np.int16
+        seg_len = cfg.asr.audio.segment_length
+        depth = max(1, init.pipeline_depth) + 1
+        staging_shm = shared_memory.SharedMemory(name=staging_name)
+        staging = np.ndarray((depth, B, seg_len), seg_dtype,
+                             buffer=staging_shm.buf)
+        fetch_shm = shared_memory.SharedMemory(name=fetch_name)
+        fetch_arr = np.ndarray(
+            (cfg.max_emission_frames, emission_width(cfg)), np.float32,
+            buffer=fetch_shm.buf)
+
+        pack_shm = None
+        pack_arr = None
+        pending = []            # in-flight ServingTickOutput
+
+        def unpack_flags(bits):
+            return jnp.asarray(np.unpackbits(bits, count=B).astype(bool))
+
+        while True:
+            msg = conn.recv()
+            op = msg[0]
+            if op == "stop":
+                break
+            elif op == "warmup":
+                t0 = time.perf_counter()
+                zeros = jnp.zeros((B,), bool)
+                seg0 = jnp.zeros((B, seg_len),
+                                 jnp.uint8 if seg_dtype == np.uint8
+                                 else jnp.int16)
+                out = step(params, seg0, zeros, zeros, zeros, zeros,
+                           state, ctx_arr, emission)
+                jax.block_until_ready(out.pack)
+                state, ctx_arr, emission = out.state, out.ctx, out.emission
+                pw = np.asarray(out.pack)
+                pack_shm = shared_memory.SharedMemory(
+                    create=True, size=pw.nbytes)
+                pack_arr = np.ndarray(pw.shape, np.float32,
+                                      buffer=pack_shm.buf)
+                conn.send(("warm", (time.perf_counter() - t0,
+                                    pack_shm.name, pw.shape)))
+            elif op == "dispatch":
+                _, idx, contain, active, new_stream, reset = msg
+                seg_dev = jnp.asarray(staging[idx])
+                out = step(params, seg_dev, unpack_flags(contain),
+                           unpack_flags(active), unpack_flags(new_stream),
+                           unpack_flags(reset), state, ctx_arr, emission)
+                state, ctx_arr, emission = out.state, out.ctx, out.emission
+                try:
+                    out.pack.copy_to_host_async()
+                except AttributeError:
+                    pass
+                pending.append(out)
+            elif op == "harvest":
+                out = pending.pop(0)
+                pack_arr[...] = np.asarray(out.pack)
+                conn.send(("pack", None))
+            elif op == "fetch":
+                _, slot, length = msg
+                rows = fetcher(emission, slot, length)   # [L, W] f32
+                fetch_arr[:len(rows), :rows.shape[1]] = rows
+                conn.send(("emission", len(rows)))
+            else:
+                conn.send(("error", f"unknown op {op!r}"))
+    except BaseException:
+        try:
+            conn.send(("error", traceback.format_exc()))
+        except Exception:
+            pass

@@ -62,7 +62,8 @@ class Scheduler:
                  en_beam_partials: bool = False,
                  en_beam_width: int = 10,
                  pipeline_depth: int = 1,
-                 mesh=None):
+                 mesh=None,
+                 device_worker: Optional[dict] = None):
         self.params = params
         self.cfg = cfg
         self.vocab = list(vocab)
@@ -101,10 +102,31 @@ class Scheduler:
 
             self._fetch_chunk = fetch_chunk
 
-        self.device_state = init_serving_state(cfg, max_slots)
+        # Device-process isolation (streaming/device_worker.py): the
+        # serving step runs in a spawned child; staging buffers are its
+        # shared memory, and this Scheduler keeps only the host half.
+        self.worker = None
+        if device_worker is not None:
+            assert mesh is None, "device_worker and mesh are exclusive"
+            assert not self.en_beam_partials, \
+                "en_beam_partials needs in-process device access"
+            from asr_streaming_tpu.streaming.device_worker import (
+                DeviceWorkerClient,
+            )
+            self.worker = DeviceWorkerClient(
+                cfg, max_slots, pipeline_depth=pipeline_depth,
+                **device_worker)
+
         self.is_rnnt = cfg.model_kind == "rnnt"
-        self.emission_buf = init_emission_buffer(cfg, max_slots)
-        self._fetch_emission = make_emission_fetcher(cfg)
+        if self.worker is None:
+            self.device_state = init_serving_state(cfg, max_slots)
+            self.emission_buf = init_emission_buffer(cfg, max_slots)
+            self._fetch_emission = make_emission_fetcher(cfg)
+        else:
+            self.device_state = None
+            self.emission_buf = None
+            self._fetch_emission = \
+                lambda _buf, slot, ln: self.worker.fetch_emission(slot, ln)
         self.streams: Dict[int, Stream] = {}     # slot -> stream
         self._free = list(range(max_slots))[::-1]
         self._needs_reset = np.zeros(max_slots, bool)
@@ -115,7 +137,8 @@ class Scheduler:
         # batch may still be reading its buffer while later ticks stage
         self._mulaw = cfg.upload_encoding == "mulaw"
         seg_dtype = np.uint8 if self._mulaw else np.int16
-        self._segment = np.zeros(
+        self._segment = self.worker.staging if self.worker is not None \
+            else np.zeros(
             (max(1, pipeline_depth) + 1, max_slots,
              cfg.asr.audio.segment_length), seg_dtype)
         self._staging_idx = 0
@@ -132,14 +155,17 @@ class Scheduler:
         self.pipeline_depth = max(1, pipeline_depth)
         self._pending: deque = deque()   # (out, ready, t_dispatch)
         self.pending_slots: set = set()
-        self.audio_ctx = init_audio_context(cfg, max_slots)
+        self.audio_ctx = init_audio_context(cfg, max_slots) \
+            if self.worker is None else None
 
         # donate the carried device state + context + emission buffer.
         # params are an explicit argument (NOT a closure capture): captured
         # arrays are serialized into the remote compile request, which
         # overflows the axon tunnel's body limit (HTTP 413) at EN scale.
         self.mesh = mesh
-        if mesh is not None:
+        if self.worker is not None:
+            self._step = None
+        elif mesh is not None:
             # Multi-chip data-parallel serving: slots sharded over the
             # mesh's 'data' axis, one shard_map step per tick, zero
             # per-tick collectives (parallel/serving.py).
@@ -176,6 +202,8 @@ class Scheduler:
         compile takes minutes at full scale; the reference likewise
         frontloads all model loading at server init,
         streaming_server.py:108-215).  Returns compile seconds."""
+        if self.worker is not None:
+            return self.worker.warmup()
         t0 = time.perf_counter()
         B = self.max_slots
         seg_dt = jnp.uint8 if self._mulaw else jnp.int16
@@ -184,6 +212,11 @@ class Scheduler:
         out = self._run_step(seg, flags, flags, flags, flags)
         jax.block_until_ready(out)
         return time.perf_counter() - t0
+
+    def close(self) -> None:
+        """Shut down the device worker (no-op for in-process mode)."""
+        if self.worker is not None:
+            self.worker.close()
 
     def _run_step(self, segment, contain, active, new_stream, reset):
         out = self._step(self.params, segment, contain, active, new_stream,
@@ -265,6 +298,7 @@ class Scheduler:
             ready = [(slot, s) for slot, s in self.streams.items()
                      if s.has_chunk() and slot not in self.pending_slots]
         seg_dev = None
+        staged_idx = self._staging_idx
         if ready:
             staging = self._segment[self._staging_idx]
             self._staging_idx = (self._staging_idx + 1) % len(self._segment)
@@ -285,7 +319,8 @@ class Scheduler:
                     scaled = np.clip(self._seg_f32 * 32767.0,
                                      -32768, 32767)
                     staging[:] = scaled.astype(np.int16)
-            seg_dev = jnp.asarray(staging)      # async H2D copy starts
+            if self.worker is None:
+                seg_dev = jnp.asarray(staging)   # async H2D copy starts
             self.timers.observe("gather_upload",
                                 time.perf_counter() - t_gather)
 
@@ -311,7 +346,10 @@ class Scheduler:
             wd.daemon = True
             wd.start()
             try:
-                pack = np.asarray(out_prev.pack)    # blocks until done
+                if self.worker is not None:
+                    pack = self.worker.harvest()    # blocks until done
+                else:
+                    pack = np.asarray(out_prev.pack)  # blocks until done
             finally:
                 wd.cancel()
             self.pending_slots = {slot for _, batch, _ in self._pending
@@ -329,18 +367,23 @@ class Scheduler:
                 active[slot] = True
                 contain[slot] = s.is_contain_token
             t_dispatch = time.perf_counter()
-            out = self._run_step(
-                seg_dev, jnp.asarray(contain), jnp.asarray(active),
-                jnp.asarray(self._new_stream),
-                jnp.asarray(self._needs_reset))
-            # start the pack's D2H now: by next tick the bytes are already
-            # host-side and the harvest np.asarray is a local copy instead
-            # of a device round trip on the critical path
-            if not os.environ.get("ASR_NO_ASYNC_PACK"):
-                try:
-                    out.pack.copy_to_host_async()
-                except AttributeError:
-                    pass
+            if self.worker is not None:
+                self.worker.dispatch(staged_idx, contain, active,
+                                     self._new_stream, self._needs_reset)
+                out = None
+            else:
+                out = self._run_step(
+                    seg_dev, jnp.asarray(contain), jnp.asarray(active),
+                    jnp.asarray(self._new_stream),
+                    jnp.asarray(self._needs_reset))
+                # start the pack's D2H now: by next tick the bytes are
+                # already host-side and the harvest np.asarray is a local
+                # copy instead of a device round trip on the critical path
+                if not os.environ.get("ASR_NO_ASYNC_PACK"):
+                    try:
+                        out.pack.copy_to_host_async()
+                    except AttributeError:
+                        pass
             self._needs_reset[:] = False
             self._new_stream[:] = False
             self._pending.append((out, ready, t_dispatch))
@@ -474,6 +517,9 @@ class GroupedScheduler:
                  vocab: Sequence[str], max_slots: int = 512,
                  groups: int = 4, **kwargs):
         groups = max(1, min(groups, max_slots))
+        assert not (groups > 1 and kwargs.get("device_worker") is not None), \
+            "device_worker spawns one device process; grouped mode would " \
+            "spawn one per group (multiple processes cannot share a TPU)"
         per = -(-max_slots // groups)          # ceil; capacity >= max_slots
         mesh = kwargs.get("mesh")
         if mesh is not None:
