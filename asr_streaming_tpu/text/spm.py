@@ -62,3 +62,33 @@ def encode_test_model(pieces: List[str]) -> bytes:
         sp = ld(1, enc) + varint((2 << 3) | 5) + struct.pack("<f", 0.0)
         blob += ld(1, sp)
     return blob
+
+
+def encode_pieces(text: str, pieces: List[str],
+                  unk: str = "<unk>") -> List[int]:
+    """Greedy longest-match piece encoding (word-boundary "▁" marking).
+
+    The image has no sentencepiece library for true unigram-Viterbi
+    encoding; greedy longest-match is the standard deterministic
+    approximation and round-trips through ``detokenize_pieces``
+    (models/rnnt.py) exactly.  Unknown characters map to ``unk`` when
+    present, else are skipped.
+    """
+    index = {p: i for i, p in enumerate(pieces)}
+    unk_id = index.get(unk)
+    out: List[int] = []
+    for word in text.split():
+        s = "▁" + word       # SentencePiece word-boundary marker
+        i = 0
+        while i < len(s):
+            for j in range(len(s), i, -1):
+                pid = index.get(s[i:j])
+                if pid is not None:
+                    out.append(pid)
+                    i = j
+                    break
+            else:
+                if unk_id is not None:
+                    out.append(unk_id)
+                i += 1
+    return out

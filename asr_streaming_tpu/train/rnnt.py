@@ -81,3 +81,117 @@ def make_rnnt_train_step(cfg: RNNTConfig,
         return params, opt_state, loss
 
     return train_step
+
+
+# ----------------------------------------------------------------- driver
+
+def main(argv=None):
+    """EN Emformer-RNNT training CLI:
+    ``python -m asr_streaming_tpu.train.rnnt --manifest en.jsonl
+      --spm spm_bpe_4096.model`` (or ``--tiny`` with a char vocab)."""
+    import argparse
+    import logging
+    import time
+
+    import numpy as np
+
+    from asr_streaming_tpu.models.rnnt import init_rnnt_params
+    from asr_streaming_tpu.ops.frontend import (
+        MelConfig, log_mel, make_mel_params,
+    )
+    from asr_streaming_tpu.train.data import load_manifest, read_wav
+    from asr_streaming_tpu.utils.checkpoint import save_params
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--manifest", required=True)
+    parser.add_argument("--spm", default=None,
+                        help="SentencePiece .model (greedy encoding); "
+                        "omit with --tiny for a character vocab")
+    parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--seconds", type=float, default=8.0)
+    parser.add_argument("--token-bucket", type=int, default=128)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--save", default="rnnt.npz")
+    parser.add_argument("--save-every", type=int, default=500)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--tiny", action="store_true")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    log = logging.getLogger("rnnt")
+
+    entries = load_manifest(args.manifest)
+    if args.spm:
+        from asr_streaming_tpu.text.spm import encode_pieces, \
+            load_spm_pieces
+        pieces = load_spm_pieces(args.spm)
+
+        def encode(text):
+            return encode_pieces(text, pieces)
+        vocab_size = len(pieces) + 1          # + blank (reference: 4097)
+    else:
+        chars = sorted({c for e in entries for c in e["text"].lower()})
+        index = {c: i for i, c in enumerate(chars)}
+
+        def encode(text):
+            return [index[c] for c in text.lower() if c in index]
+        vocab_size = len(chars) + 1
+
+    cfg = RNNTConfig.tiny(vocab_size=max(vocab_size, 8)) if args.tiny \
+        else RNNTConfig(vocab_size=vocab_size, blank=vocab_size - 1)
+    mel = MelConfig.for_english()
+    if cfg.n_mels != mel.n_mels:
+        import dataclasses as _dc
+        mel = _dc.replace(mel, n_mels=cfg.n_mels)
+    mel_params = make_mel_params(mel)
+
+    params = init_rnnt_params(jax.random.PRNGKey(args.seed), cfg)
+    optimizer = optax.adamw(args.lr, weight_decay=1e-4)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_rnnt_train_step(cfg, optimizer))
+    featurize = jax.jit(lambda w: log_mel(mel_params, mel, w))
+
+    n_samples = int(args.seconds * 16000)
+    rng = np.random.default_rng(args.seed)
+    order = rng.permutation(len(entries))
+    waves = np.zeros((args.batch_size, n_samples), np.float32)
+    wave_lens = np.zeros(args.batch_size, np.int32)
+    targets = np.zeros((args.batch_size, args.token_bucket), np.int32)
+    target_lens = np.zeros(args.batch_size, np.int32)
+
+    i = 0
+    t0 = time.perf_counter()
+    for it in range(args.steps):
+        for b in range(args.batch_size):
+            e = entries[int(order[i % len(entries)])]
+            i += 1
+            w, _sr = read_wav(e["audio_filepath"])
+            n = min(len(w), n_samples)
+            waves[b, :n] = w[:n]
+            waves[b, n:] = 0.0
+            wave_lens[b] = n
+            toks = encode(e["text"])[:args.token_bucket]
+            targets[b, :len(toks)] = toks
+            targets[b, len(toks):] = 0
+            target_lens[b] = len(toks)
+        feats = featurize(jnp.asarray(waves))
+        frame_lens = jnp.asarray(
+            np.minimum(wave_lens // mel.hop_length + 1, feats.shape[1]),
+            jnp.int32)
+        batch = RNNTBatch(feats=feats, feat_lens=frame_lens,
+                          targets=jnp.asarray(targets),
+                          target_lens=jnp.asarray(target_lens))
+        params, opt_state, loss = step(params, opt_state, batch)
+        if it % 50 == 0 or it == args.steps - 1:
+            log.info("step %d loss %.4f (%.2f s/step)", it, float(loss),
+                     (time.perf_counter() - t0) / (it + 1))
+        if args.save and (it + 1) % args.save_every == 0:
+            save_params(args.save, params)
+    if args.save:
+        save_params(args.save, params)
+        log.info("saved %s", args.save)
+
+
+if __name__ == "__main__":
+    main()

@@ -45,3 +45,42 @@ def test_rnnt_training_reduces_loss():
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9
     assert np.isfinite(losses).all()
+
+
+def test_rnnt_training_driver_tiny(tmp_path):
+    """End-to-end RNNT training CLI on a synthetic manifest (char vocab)."""
+    import json
+    import wave as wave_mod
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(2):
+        p = tmp_path / f"e{i}.wav"
+        with wave_mod.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((rng.standard_normal(8000) * 3000
+                           ).astype(np.int16).tobytes())
+        entries.append({"audio_filepath": str(p), "text": "hello world"})
+    manifest = tmp_path / "en.jsonl"
+    manifest.write_text("\n".join(json.dumps(e) for e in entries))
+
+    from asr_streaming_tpu.train import rnnt as rnnt_mod
+    rnnt_mod.main(["--manifest", str(manifest), "--steps", "2",
+                   "--batch-size", "2", "--seconds", "0.5", "--tiny",
+                   "--save", str(tmp_path / "rnnt.npz")])
+    assert (tmp_path / "rnnt.npz").exists()
+
+
+def test_spm_greedy_encode_roundtrip():
+    from asr_streaming_tpu.models.rnnt import detokenize_pieces
+    from asr_streaming_tpu.text.spm import encode_pieces
+    pieces = ["<unk>", "▁the", "▁cat", "▁s", "at", "▁", "d", "o", "g"]
+    ids = encode_pieces("the cat sat dog", pieces)
+    assert detokenize_pieces(ids, pieces).strip() == "the cat sat dog"
+    # unknown chars -> <unk>
+    ids2 = encode_pieces("the ?", pieces)
+    assert 0 in ids2
