@@ -141,6 +141,14 @@ def build_server(settings, max_slots=None):
         sched_kwargs["mesh"] = make_serving_mesh(n)
         logging.info("serving data-parallel over %d chips", n)
     if getattr(settings, "device_worker", False):
+        if "mesh" in sched_kwargs:
+            logging.warning("device_worker is exclusive with "
+                            "data_parallel — data_parallel ignored")
+            del sched_kwargs["mesh"]
+        if sched_kwargs.get("en_beam_partials"):
+            logging.warning("en_beam_partials needs in-process device "
+                            "access — disabled for device_worker mode")
+            sched_kwargs["en_beam_partials"] = False
         sched_kwargs["device_worker"] = dict(
             seed=0, checkpoint=settings.checkpoint,
             vad_weights=settings.vad_weights)
@@ -282,16 +290,36 @@ def main():
     # main runs `asyncio.sleep` timers).  With the loop on a non-main
     # thread the same workload completes.  Device ticks already run on
     # the scheduler's dedicated tick thread either way.
+    import sys
     import threading
 
-    t = threading.Thread(
-        target=lambda: asyncio.run(server.run(args.port)),
-        name="asyncio-loop", daemon=True)
+    failure = []
+
+    def loop_main():
+        try:
+            asyncio.run(server.run(args.port))
+        except BaseException as e:   # noqa: BLE001 — reported via exit code
+            failure.append(e)
+
+    t = threading.Thread(target=loop_main, name="asyncio-loop",
+                         daemon=True)
     t.start()
     try:
-        t.join()
+        while t.is_alive():
+            t.join(timeout=1.0)
     except KeyboardInterrupt:
         logging.info("interrupted — shutting down")
+        # let the device finish in-flight work before the process dies:
+        # hard-killing mid-device-op can wedge the remote backend
+        # (NOTES_r2.md).  close() drains the device-worker child (if any).
+        try:
+            server.scheduler.close()
+        except Exception:
+            logging.exception("scheduler close failed")
+        raise SystemExit(130)
+    if failure:
+        logging.error("server loop failed: %r", failure[0])
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -99,7 +99,7 @@ class StreamingServer:
         # Dedicated free-running tick THREAD (see _tick_thread_main for
         # why it is not an asyncio task driving run_in_executor).
         self._tick_thread: Optional[object] = None
-        self._tick_task = None   # back-compat for tests that cancel it
+        self._tick_stop = False   # set via stop_ticks()
         self.language = scheduler.language
 
     # -------------------------------------------------------------- requests
@@ -156,7 +156,7 @@ class StreamingServer:
         except BaseException as e:
             loop.call_soon_threadsafe(compiled.set_exception, e)
             return
-        while not loop.is_closed():
+        while not self._tick_stop and not loop.is_closed():
             try:
                 if self.scheduler.has_work():
                     events = self.scheduler.tick()
@@ -172,6 +172,14 @@ class StreamingServer:
             except Exception:
                 logger.exception("tick failed; continuing")
                 _time.sleep(0.05)
+
+    def stop_ticks(self, timeout: float = 10.0) -> None:
+        """Stop the tick thread (lets any in-flight device work finish —
+        hard-killing mid-device-op can wedge remote backends)."""
+        self._tick_stop = True
+        t = self._tick_thread
+        if t is not None and getattr(t, "is_alive", lambda: False)():
+            t.join(timeout=timeout)
 
     def _deliver_events(self, events):
         """Runs on the loop thread: route events + release boundary

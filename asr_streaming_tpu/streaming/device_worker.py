@@ -90,6 +90,7 @@ class DeviceWorkerClient:
 
         ctx = mp.get_context("spawn")
         self._conn, child_conn = ctx.Pipe()
+        self._req_id = 0        # request/reply pairing (see _recv)
         init = WorkerInit(cfg_bytes=pickle.dumps(cfg),
                           max_slots=max_slots, seed=seed,
                           checkpoint=checkpoint, vad_weights=vad_weights,
@@ -108,8 +109,8 @@ class DeviceWorkerClient:
     # ------------------------------------------------------------- calls
 
     def warmup(self, timeout: float = 900.0) -> float:
-        self._conn.send(("warmup",))
-        kind, payload = self._recv(timeout)
+        rid = self._send(("warmup",))
+        kind, payload = self._recv(rid, timeout)
         assert kind == "warm", payload
         secs, pack_shm_name, pack_shape = payload
         self._pack_shm = shared_memory.SharedMemory(name=pack_shm_name)
@@ -120,28 +121,28 @@ class DeviceWorkerClient:
     def dispatch(self, staging_idx: int, contain, active, new_stream,
                  reset) -> None:
         """Non-blocking: the worker enqueues the (async) device step."""
-        self._conn.send(("dispatch", staging_idx,
-                         np.packbits(contain), np.packbits(active),
-                         np.packbits(new_stream), np.packbits(reset)))
+        self._send(("dispatch", staging_idx,
+                    np.packbits(contain), np.packbits(active),
+                    np.packbits(new_stream), np.packbits(reset)))
 
     def harvest(self, timeout: float = 600.0) -> np.ndarray:
         """Blocks until the OLDEST in-flight step's pack is host-side."""
-        self._conn.send(("harvest",))
-        kind, payload = self._recv(timeout)
+        rid = self._send(("harvest",))
+        kind, payload = self._recv(rid, timeout)
         assert kind == "pack", payload
         return self._pack_arr.copy()
 
     def fetch_emission(self, slot: int, length: int,
                        timeout: float = 600.0) -> np.ndarray:
-        self._conn.send(("fetch", int(slot), int(length)))
-        kind, payload = self._recv(timeout)
+        rid = self._send(("fetch", int(slot), int(length)))
+        kind, payload = self._recv(rid, timeout)
         assert kind == "emission", payload
         n = payload
         return self._fetch_arr[:n].copy()
 
     def close(self) -> None:
         try:
-            self._conn.send(("stop",))
+            self._send(("stop",))
         except (BrokenPipeError, OSError):
             pass
         self._proc.join(timeout=10)
@@ -157,15 +158,34 @@ class DeviceWorkerClient:
 
     # ----------------------------------------------------------- internal
 
-    def _recv(self, timeout: float):
-        if not self._conn.poll(timeout):
-            raise TimeoutError(
-                f"device worker unresponsive after {timeout}s "
-                f"(alive={self._proc.is_alive()})")
-        msg = self._conn.recv()
-        if msg[0] == "error":
-            raise RuntimeError(f"device worker error:\n{msg[1]}")
-        return msg
+    def _send(self, msg) -> int:
+        """Tag the request with a sequence id the worker echoes back."""
+        self._req_id += 1
+        self._conn.send((self._req_id,) + msg)
+        return self._req_id
+
+    def _recv(self, rid: int, timeout: float):
+        """Receive the reply for request ``rid``, DISCARDING any stale
+        replies from earlier timed-out requests — without ids, one
+        timeout would permanently desynchronize the pipe (every later
+        reply paired with the wrong request, and shared-memory reads
+        racing the worker's writes for the next one)."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        while True:
+            remaining = deadline - _time.monotonic()
+            if remaining <= 0 or not self._conn.poll(remaining):
+                raise TimeoutError(
+                    f"device worker unresponsive after {timeout}s "
+                    f"(alive={self._proc.is_alive()})")
+            msg = self._conn.recv()
+            got_rid, rest = msg[0], msg[1:]
+            if rest[0] == "error":
+                raise RuntimeError(f"device worker error:\n{rest[1]}")
+            if got_rid == rid:
+                return rest
+            # stale reply from a timed-out request: drop it
 
 
 def _worker_main(conn, init: WorkerInit, staging_name: str,
@@ -187,6 +207,19 @@ def _worker_main(conn, init: WorkerInit, staging_name: str,
         )
 
         cfg = pickle.loads(init.cfg_bytes)
+        # The parent pins ITSELF to CPU in worker mode, so the cfg it
+        # built has the Pallas fast path off; re-decide from THIS
+        # process's real backend (mirrors build_server's own rule) so
+        # TPU workers get the fused kernels.
+        if jax.default_backend() == "tpu":
+            from asr_streaming_tpu.models.asr import with_pallas_layer
+            new_asr = with_pallas_layer(cfg.asr)
+            rnnt = cfg.rnnt
+            if rnnt is not None and not rnnt.emformer.use_pallas_layer:
+                rnnt = dataclasses.replace(
+                    rnnt, emformer=dataclasses.replace(
+                        rnnt.emformer, use_pallas_layer=True))
+            cfg = dataclasses.replace(cfg, asr=new_asr, rnnt=rnnt)
         B = init.max_slots
         params = init_serving_params(jax.random.PRNGKey(init.seed), cfg)
         if init.checkpoint:
@@ -241,7 +274,7 @@ def _worker_main(conn, init: WorkerInit, staging_name: str,
 
         while True:
             msg = conn.recv()
-            op = msg[0]
+            rid, op = msg[0], msg[1]
             if op == "stop":
                 break
             elif op == "warmup":
@@ -259,10 +292,10 @@ def _worker_main(conn, init: WorkerInit, staging_name: str,
                     create=True, size=pw.nbytes)
                 pack_arr = np.ndarray(pw.shape, np.float32,
                                       buffer=pack_shm.buf)
-                conn.send(("warm", (time.perf_counter() - t0,
-                                    pack_shm.name, pw.shape)))
+                conn.send((rid, "warm", (time.perf_counter() - t0,
+                                         pack_shm.name, pw.shape)))
             elif op == "dispatch":
-                _, idx, contain, active, new_stream, reset = msg
+                _, _, idx, contain, active, new_stream, reset = msg
                 seg_dev = jnp.asarray(staging[idx])
                 out = step(params, seg_dev, unpack_flags(contain),
                            unpack_flags(active), unpack_flags(new_stream),
@@ -276,16 +309,16 @@ def _worker_main(conn, init: WorkerInit, staging_name: str,
             elif op == "harvest":
                 out = pending.pop(0)
                 pack_arr[...] = np.asarray(out.pack)
-                conn.send(("pack", None))
+                conn.send((rid, "pack", None))
             elif op == "fetch":
-                _, slot, length = msg
+                _, _, slot, length = msg
                 rows = fetcher(emission, slot, length)   # [L, W] f32
                 fetch_arr[:len(rows), :rows.shape[1]] = rows
-                conn.send(("emission", len(rows)))
+                conn.send((rid, "emission", len(rows)))
             else:
-                conn.send(("error", f"unknown op {op!r}"))
+                conn.send((rid, "error", f"unknown op {op!r}"))
     except BaseException:
         try:
-            conn.send(("error", traceback.format_exc()))
+            conn.send((0, "error", traceback.format_exc()))
         except Exception:
             pass

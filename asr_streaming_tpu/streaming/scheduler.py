@@ -107,9 +107,15 @@ class Scheduler:
         # shared memory, and this Scheduler keeps only the host half.
         self.worker = None
         if device_worker is not None:
-            assert mesh is None, "device_worker and mesh are exclusive"
-            assert not self.en_beam_partials, \
-                "en_beam_partials needs in-process device access"
+            if mesh is not None:
+                raise ValueError(
+                    "device_worker and mesh are exclusive: the worker "
+                    "child owns the device(s); use data_parallel without "
+                    "device_worker, or device_worker alone")
+            if self.en_beam_partials:
+                raise ValueError(
+                    "en_beam_partials needs in-process device access; "
+                    "disable it for device_worker mode")
             from asr_streaming_tpu.streaming.device_worker import (
                 DeviceWorkerClient,
             )
@@ -196,6 +202,41 @@ class Scheduler:
         self.timers = StageTimers()
         self.last_tick_seconds = 0.0
         self.ticks = 0
+        # harvest watchdog state (one lazy monitor thread; see tick())
+        self._harvest_started = None
+        self._watchdog_thread = None
+
+    def _ensure_watchdog(self) -> None:
+        if self._watchdog_thread is not None:
+            return
+        import logging
+        import threading
+        import weakref
+
+        ref = weakref.ref(self)
+
+        def monitor():
+            warned = False
+            while True:
+                time.sleep(10.0)
+                sched = ref()
+                if sched is None:
+                    return
+                started = sched._harvest_started
+                if started is not None and \
+                        time.monotonic() - started > 60.0:
+                    if not warned:
+                        logging.getLogger(__name__).error(
+                            "harvest blocked >60s — device result never "
+                            "arrived (backend wedged?); see NOTES_r2.md "
+                            "axon notes")
+                        warned = True
+                else:
+                    warned = False
+
+        self._watchdog_thread = threading.Thread(
+            target=monitor, name="harvest-watchdog", daemon=True)
+        self._watchdog_thread.start()
 
     def warmup(self) -> float:
         """Compile the serving step before accepting traffic (first XLA
@@ -331,27 +372,21 @@ class Scheduler:
         if self._pending and (len(self._pending) >= self.pipeline_depth
                               or not ready):
             out_prev, ready_prev, t_dispatch = self._pending.popleft()
-            # Watchdog: a harvest should take ~the device step (tens of
-            # ms).  A multi-minute block means the backend lost the
-            # result (observed on the axon remote backend when an
-            # asyncio event loop churns in the same process) — log
-            # loudly so operators see a diagnosis instead of a silent
-            # stall.
-            import logging
-            import threading as _threading
-            wd = _threading.Timer(60.0, lambda: logging.getLogger(
-                __name__).error(
-                "harvest blocked >60s — device result never arrived "
-                "(backend wedged?); see NOTES_r2.md axon notes"))
-            wd.daemon = True
-            wd.start()
+            # Harvest watchdog: a multi-minute block means the backend
+            # lost the result (observed on the axon remote backend when
+            # an asyncio event loop churns in the same process) — one
+            # persistent monitor thread logs a diagnosis instead of a
+            # silent stall (a per-tick Timer would spawn an OS thread on
+            # the hot path).
+            self._ensure_watchdog()
+            self._harvest_started = time.monotonic()
             try:
                 if self.worker is not None:
                     pack = self.worker.harvest()    # blocks until done
                 else:
                     pack = np.asarray(out_prev.pack)  # blocks until done
             finally:
-                wd.cancel()
+                self._harvest_started = None
             self.pending_slots = {slot for _, batch, _ in self._pending
                                   for slot, _ in batch}
             self.timers.observe("device_step",
@@ -517,9 +552,11 @@ class GroupedScheduler:
                  vocab: Sequence[str], max_slots: int = 512,
                  groups: int = 4, **kwargs):
         groups = max(1, min(groups, max_slots))
-        assert not (groups > 1 and kwargs.get("device_worker") is not None), \
-            "device_worker spawns one device process; grouped mode would " \
-            "spawn one per group (multiple processes cannot share a TPU)"
+        if groups > 1 and kwargs.get("device_worker") is not None:
+            raise ValueError(
+                "device_worker spawns one device process; grouped mode "
+                "would spawn one per group (multiple processes cannot "
+                "share a TPU) — use groups=1 with device_worker")
         per = -(-max_slots // groups)          # ceil; capacity >= max_slots
         mesh = kwargs.get("mesh")
         if mesh is not None:
@@ -609,3 +646,7 @@ class GroupedScheduler:
                 break
             events.extend(self.tick())
         return events
+
+    def close(self) -> None:
+        for g in self.groups:
+            g.close()

@@ -119,6 +119,8 @@ def main(argv=None):
     entries = load_manifest(args.manifest)
     refs = [e["text"] for e in entries]
 
+    decode_mode = "precomputed" if args.hyp_manifest else (
+        "beam" if args.beam else "greedy")
     if args.hyp_manifest:
         hyps = [e["text"] for e in load_manifest(args.hyp_manifest)]
         assert len(hyps) == len(refs), (len(hyps), len(refs))
@@ -126,12 +128,26 @@ def main(argv=None):
         from asr_streaming_tpu.models.api import ASRModel
         model = ASRModel(checkpoint=args.checkpoint)
         decode = None
-        if args.beam and args.lexicon and args.lm:
+        if args.beam:
+            # --beam must never silently score greedy output: fail loud
+            # on missing assets, fall back to the (slow but exact)
+            # python beam when the native library is unavailable
+            if not (args.lexicon and args.lm):
+                raise SystemExit(
+                    "--beam requires --lexicon and --lm")
             from asr_streaming_tpu.decode.beam_native import (
                 make_native_rescorer,
             )
             decode = make_native_rescorer(model.vocab, args.lexicon,
                                           args.lm)
+            if decode is None:
+                from asr_streaming_tpu.decode.beam import make_rescorer
+                decode = make_rescorer(model.vocab, args.lexicon,
+                                       args.lm)
+                decode_mode = "beam-python"
+            if decode is None:
+                raise SystemExit("beam decoder unavailable (no native "
+                                 "library and python fallback failed)")
         hyps = []
         for e in entries:
             wave, _sr = read_wav(e["audio_filepath"])
@@ -158,6 +174,7 @@ def main(argv=None):
             print(f"[{i}] wer={st.rate:.3f} ref={r!r} hyp={h!r}")
     print(json.dumps({
         "utterances": len(refs),
+        "decode_mode": decode_mode,
         "wer": round(wer.rate, 4),
         "cer": round(cer.rate, 4),
         "substitutions": wer.substitutions,

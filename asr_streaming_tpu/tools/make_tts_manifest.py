@@ -42,6 +42,10 @@ def word_durations_from_alignment(word_segments: Sequence,
     n = len(word_segments)
     if n == 0:
         return []
+    if total_frames < n:
+        # cannot give every word >= 1 frame: the sum==total contract is
+        # unsatisfiable (degenerate audio/alignment) — caller skips
+        return []
     bounds = [0.0]
     for i in range(n - 1):
         bounds.append(0.5 * (word_segments[i].end
@@ -133,6 +137,11 @@ def main(argv=None):
                 continue
             durs = word_durations_from_alignment(
                 word_segs, len(wave) / sr, sr, args.hop_length)
+            if not durs:
+                log.warning("audio too short to tile %d words for %s — "
+                            "skipped", len(word_segs),
+                            e["audio_filepath"])
+                continue
             f.write(json.dumps({
                 "audio_filepath": e["audio_filepath"],
                 "text": text,

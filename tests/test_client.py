@@ -33,8 +33,7 @@ def test_stream_audio_client_end_to_end():
                 realtime=False, request_id="cli-1")
         finally:
             task.cancel()
-            if server._tick_task:
-                server._tick_task.cancel()
+            server.stop_ticks()
 
     result = asyncio.run(run())
     assert result.completed

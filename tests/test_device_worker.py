@@ -97,6 +97,6 @@ def test_worker_grouped_guard():
     cfg = _cfg()
     params = init_serving_params(jax.random.PRNGKey(0), cfg)
     vocab = placeholder_vocab(cfg.asr.encoder.vocab_size)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="one device process"):
         GroupedScheduler(params, cfg, vocab, max_slots=8, groups=2,
                          device_worker={"seed": 0, "platform": "cpu"})

@@ -63,8 +63,7 @@ def test_grpc_master_end_to_end():
         finally:
             await gserver.stop(None)
             wtask.cancel()
-            if worker._tick_task:
-                worker._tick_task.cancel()
+            worker.stop_ticks()
 
     messages = asyncio.run(run())
     assert messages[-1] == b"__REQUEST_COMPLETED__"
@@ -101,8 +100,7 @@ def test_web_gateway_end_to_end():
         finally:
             await test_server.close()
             wtask.cancel()
-            if worker._tick_task:
-                worker._tick_task.cancel()
+            worker.stop_ticks()
         return got
 
     got = asyncio.run(run())

@@ -84,3 +84,12 @@ def test_manifest_pipeline_with_stub_model(tmp_path, monkeypatch):
     ds = SpeechSynthesisDataset(str(out))
     ex = ds[0]
     assert ex.tokens.shape == (2,) and ex.word_durs.shape == (2,)
+
+
+def test_durations_degenerate_audio_returns_empty():
+    """More words than frames: the sum==total contract is unsatisfiable;
+    the function signals skip instead of writing broken durations."""
+    segs = [_seg(i * 0.01, i * 0.01 + 0.005) for i in range(12)]
+    durs = word_durations_from_alignment(segs, audio_seconds=0.1,
+                                         sample_rate=16000, hop_length=160)
+    assert durs == []

@@ -74,8 +74,7 @@ async def _run_test():
         messages = await _run_client(PORT)
     finally:
         server_task.cancel()
-        if server._tick_task:
-            server._tick_task.cancel()
+        server.stop_ticks()
     return messages
 
 
@@ -127,8 +126,7 @@ def test_http_fallback(tmp_path):
             return await asyncio.to_thread(fetch)
         finally:
             task.cancel()
-            if server._tick_task:
-                server._tick_task.cancel()
+            server.stop_ticks()
 
     body = asyncio.run(run())
     assert b"asr" in body

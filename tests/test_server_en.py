@@ -56,8 +56,7 @@ def test_en_server_end_to_end():
                         break
         finally:
             task.cancel()
-            if server._tick_task:
-                server._tick_task.cancel()
+            server.stop_ticks()
         return messages
 
     messages = asyncio.run(run())

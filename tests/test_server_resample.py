@@ -41,8 +41,7 @@ async def _run():
                     break
     finally:
         task.cancel()
-        if server._tick_task:
-            server._tick_task.cancel()
+        server.stop_ticks()
     return messages
 
 
@@ -80,8 +79,7 @@ def test_set_audio_format_command_switches_rate():
                         break
         finally:
             task.cancel()
-            if server._tick_task:
-                server._tick_task.cancel()
+            server.stop_ticks()
         return messages
 
     messages = asyncio.run(run())
