@@ -200,6 +200,15 @@ def _worker_main(conn, init: WorkerInit, staging_name: str,
             jax.config.update("jax_platforms", init.platform)
         import jax.numpy as jnp
 
+        if init.platform != "cpu":
+            # warm restarts skip the minutes-long XLA compile (the cache
+            # is enabled in the parent too, but the child is the process
+            # that actually compiles the serving step)
+            from asr_streaming_tpu.utils.compile_cache import (
+                enable_compile_cache,
+            )
+            enable_compile_cache()
+
         from asr_streaming_tpu.models.serving import (
             _emission_packed, _unpack_f16_rows, emission_width,
             init_audio_context, init_emission_buffer, init_serving_params,
