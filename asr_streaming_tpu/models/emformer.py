@@ -73,6 +73,8 @@ class EmformerConfig:
     # _layer_step remains the oracle (tests/test_pallas_emformer.py).
     use_pallas_layer: bool = False
     pallas_tile: int = 64           # batch rows per kernel grid step
+                                    # (v5e sweep @512 slots: 32=27.4ms,
+                                    # 64=21.2ms, 128+=VMEM OOM >100MB)
     # Unroll factor for the scan over layers.  The carried K/V state is
     # large; unrolling lets XLA overlap the per-layer state slicing with
     # compute.  Measured on v5e with honest chained-step timing (state fed
