@@ -29,9 +29,11 @@ import numpy as np
 TICK_SECONDS = 0.64
 BASELINE_STREAMS = 500.0
 SLOTS = 512
-# 1024 slots measured WORSE on this link (1693 streams / 387 ms round vs
-# 2821 / 116 ms at 512): host gather and the tunnel upload go superlinear
-# (16 -> 190 ms) and the device step 4x's (emission-buffer HBM pressure).
+# 1024 slots measured WORSE on this link in BOTH arrangements —
+# monolithic (1693 streams / 387 ms round) and 4x256 groups (1542 /
+# 425 ms) vs 2821-3675 / 89-116 ms at 512: host gather and the tunnel
+# upload go superlinear and the device work 4x's (HBM pressure from the
+# doubled state + emission buffers).
 # Slot groups: smaller round-robin groups shrink per-chunk latency; too
 # many and the per-tick link round trip dominates.  Measured on this
 # tunnel with the Pallas append kernel (streams / p50 ms):
