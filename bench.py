@@ -45,8 +45,51 @@ ROUNDS_A = 16          # full-service rounds in the throughput phase
 SECONDS_B = 10.0       # paced-load latency phase duration
 
 
+def wait_for_backend(budget_s: float = 1500.0, probe_s: float = 90.0) -> bool:
+    """Health-gate: the axon remote backend can be WEDGED (any device op
+    hangs forever — NOTES_r2.md) for tens of minutes after some process
+    was hard-killed mid-device-op.  Probe with tiny subprocess matmuls
+    that we NEVER kill (killing mid-op is what wedges it): poll each
+    probe's exit, and if one is stuck, leave it running (it exits on its
+    own when the backend recovers) and keep waiting until the budget is
+    spent.  Returns True when the backend answered."""
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))")
+    deadline = time.monotonic() + budget_s
+    probes = []
+    while time.monotonic() < deadline:
+        p = subprocess.Popen([sys.executable, "-c", code],
+                             stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+        probes.append(p)
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < probe_s:
+            rc = p.poll()
+            if rc == 0:
+                return True
+            if rc is not None:
+                break               # probe errored; retry
+            time.sleep(2.0)
+        # stuck or errored: leave it be, wait before the next probe
+        time.sleep(30.0)
+    return any(p.poll() == 0 for p in probes)
+
+
 def main():
     import dataclasses
+
+    if not wait_for_backend():
+        print(json.dumps({
+            "metric": "concurrent_rtf1_streams_per_chip", "value": 0,
+            "unit": "streams", "vs_baseline": 0.0,
+            "extra": {"error": "device backend wedged: a bare matmul "
+                      "did not complete within the 25-min health-gate "
+                      "budget (see NOTES_r2.md axon kill-wedge notes); "
+                      "re-run when the backend recovers"}}))
+        return
 
     import jax
     import jax.numpy as jnp
