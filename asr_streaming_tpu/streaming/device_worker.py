@@ -118,6 +118,13 @@ class DeviceWorkerClient:
                                     buffer=self._pack_shm.buf)
         return secs
 
+    def stage(self, staging_idx: int) -> None:
+        """Non-blocking: the worker starts the host->device copy of this
+        staging buffer NOW, so the upload overlaps the parent's harvest
+        (mirrors the in-process scheduler's early jnp.asarray; without
+        it each tick pays the full H2D serially)."""
+        self._send(("stage", staging_idx))
+
     def dispatch(self, staging_idx: int, contain, active, new_stream,
                  reset) -> None:
         """Non-blocking: the worker enqueues the (async) device step."""
@@ -277,6 +284,7 @@ def _worker_main(conn, init: WorkerInit, staging_name: str,
         pack_shm = None
         pack_arr = None
         pending = []            # in-flight ServingTickOutput
+        staged = {}             # staging_idx -> device array (async H2D)
 
         def unpack_flags(bits):
             return jnp.asarray(np.unpackbits(bits, count=B).astype(bool))
@@ -303,9 +311,14 @@ def _worker_main(conn, init: WorkerInit, staging_name: str,
                                       buffer=pack_shm.buf)
                 conn.send((rid, "warm", (time.perf_counter() - t0,
                                          pack_shm.name, pw.shape)))
+            elif op == "stage":
+                idx = msg[2]
+                staged[idx] = jnp.asarray(staging[idx])  # async H2D
             elif op == "dispatch":
                 _, _, idx, contain, active, new_stream, reset = msg
-                seg_dev = jnp.asarray(staging[idx])
+                seg_dev = staged.pop(idx, None)
+                if seg_dev is None:
+                    seg_dev = jnp.asarray(staging[idx])
                 out = step(params, seg_dev, unpack_flags(contain),
                            unpack_flags(active), unpack_flags(new_stream),
                            unpack_flags(reset), state, ctx_arr, emission)

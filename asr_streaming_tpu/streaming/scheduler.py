@@ -362,6 +362,8 @@ class Scheduler:
                     staging[:] = scaled.astype(np.int16)
             if self.worker is None:
                 seg_dev = jnp.asarray(staging)   # async H2D copy starts
+            else:
+                self.worker.stage(staged_idx)    # child starts the H2D
             self.timers.observe("gather_upload",
                                 time.perf_counter() - t_gather)
 
