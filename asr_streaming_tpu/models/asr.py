@@ -52,15 +52,27 @@ class ASRConfig:
                                          emformer=emf))
 
 
-def with_pallas_layer(cfg: ASRConfig,
-                      enable: Optional[bool] = None) -> ASRConfig:
-    """Route the Emformer through the fused Pallas layer kernel
-    (ops/pallas_emformer.py).  Defaults to on for TPU backends (measured
-    36.0 -> 19.6 ms/step at 512 slots bf16), off elsewhere (the kernel
-    would run interpreted)."""
+def with_pallas_layer(cfg: ASRConfig, enable: Optional[bool] = None,
+                      mode: str = "stack") -> ASRConfig:
+    """Route the Emformer through the fused Pallas fast path.
+
+    mode="stack" (default): the whole-encoder megakernel
+    (ops/pallas_emformer.py:fused_emformer_stack) — one launch per step,
+    inter-layer activations in VMEM (v5e @512 slots bf16: 14.8 ms/step).
+    mode="layer": the per-layer kernel (19.5 ms/step; XLA scan: 36 ms).
+    Defaults to on for TPU backends, off elsewhere (the kernels would run
+    interpreted).  Env override ASR_PALLAS_MODE=stack|layer|off.
+    """
+    import os
+    mode = os.environ.get("ASR_PALLAS_MODE", mode)
     if enable is None:
         enable = jax.default_backend() == "tpu"
-    emf = dataclasses.replace(cfg.encoder.emformer, use_pallas_layer=enable)
+    if mode == "off":
+        enable = False
+    emf = dataclasses.replace(
+        cfg.encoder.emformer,
+        use_pallas_stack=enable and mode != "layer",
+        use_pallas_layer=enable and mode == "layer")
     return dataclasses.replace(
         cfg, encoder=dataclasses.replace(cfg.encoder, emformer=emf))
 

@@ -72,9 +72,16 @@ class EmformerConfig:
     # (ops/pallas_emformer.py) — the serving-path fast path.  The XLA
     # _layer_step remains the oracle (tests/test_pallas_emformer.py).
     use_pallas_layer: bool = False
-    pallas_tile: int = 64           # batch rows per kernel grid step
-                                    # (v5e sweep @512 slots: 32=27.4ms,
+    # Route ALL layers through the single whole-encoder megakernel
+    # (ops/pallas_emformer.py:fused_emformer_stack): grid (layer, tile),
+    # inter-layer activations carried in VMEM scratch, one launch per
+    # step.  Takes precedence over use_pallas_layer.
+    use_pallas_stack: bool = False
+    pallas_tile: int = 64           # per-layer kernel: batch rows per grid
+                                    # step (v5e sweep @512 slots: 32=27.4ms,
                                     # 64=21.2ms, 128+=VMEM OOM >100MB)
+    pallas_stack_tile: int = 32     # megakernel tile (v5e @512 slots:
+                                    # 32=13.0ms, 64=14.5ms; 128 OOMs VMEM)
     # Unroll factor for the scan over layers.  The carried K/V state is
     # large; unrolling lets XLA overlap the per-layer state slicing with
     # compute.  Measured on v5e with honest chained-step timing (state fed
@@ -381,6 +388,26 @@ def emformer_stream_step(
     length = state.length
     if reset is not None:
         length = jnp.where(reset, 0, length)
+
+    if cfg.use_pallas_stack:
+        from asr_streaming_tpu.ops.pallas_emformer import (
+            fused_emformer_stack,
+        )
+        y, mem, lc_k, lc_v = fused_emformer_stack(
+            params, x[:, :U + R].astype(jnp.float32),
+            state.mem, state.lc_k, state.lc_v, length, reset, advance,
+            U=U, R=R, M=cfg.max_memory_size, Lc=cfg.left_context_length,
+            H=cfg.num_heads, use_mem=cfg.use_mem,
+            tanh_on_mem=cfg.tanh_on_mem, neg_inf=cfg.negative_inf,
+            activation=cfg.activation,
+            cdt_name=jnp.dtype(cfg.compute_dtype).name,
+            tile=cfg.pallas_stack_tile,
+            interpret=jax.default_backend() != "tpu")
+        new_length = length + jnp.int32(U)
+        if advance is not None:
+            new_length = jnp.where(advance, new_length, length)
+        return y, EmformerState(mem=mem, lc_k=lc_k, lc_v=lc_v,
+                                length=new_length)
 
     fused_masks = cfg.use_pallas_layer and (reset is not None
                                             or advance is not None)

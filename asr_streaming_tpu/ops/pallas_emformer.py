@@ -40,37 +40,36 @@ def _ln(x, scale, bias, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _layer_kernel(
-    # per-tile tensors
-    utt_ref, rc_ref, mem_row_ref, mem_state_ref, lc_k_ref, lc_v_ref,
-    len_ref, reset_ref, advance_ref,
-    # layer weights (full arrays, fetched once)
-    wq_ref, bq_ref, wkv_ref, bkv_ref, wout_ref, bout_ref,
-    lnin_s_ref, lnin_b_ref, ffln_s_ref, ffln_b_ref,
-    ffw1_ref, ffb1_ref, ffw2_ref, ffb2_ref, lnout_s_ref, lnout_b_ref,
-    # outputs
-    out_utt_ref, out_rc_ref, out_mem_row_ref, out_mem_state_ref,
-    out_lc_k_ref, out_lc_v_ref,
+def _layer_math(
+    utt, rc, mem_row, mem_state_in, lc_k_in, lc_v_in,
+    length, reset2, advance2, w,
     *, U: int, R: int, M: int, Lc: int, H: int, use_mem: bool,
     tanh_on_mem: bool, neg_inf: float, activation: str, cdt,
+    state_dtype,
 ):
-    TB = utt_ref.shape[0]
-    D = utt_ref.shape[2]
+    """One Emformer layer step on VMEM-resident arrays.
+
+    Shared by the per-layer kernel (_layer_kernel) and the whole-encoder
+    stack kernel (_stack_kernel).  Inputs:
+      utt [TB,U,D] f32, rc [TB,R,D] f32, mem_row [TB,1,D] f32 (or None),
+      mem_state_in [TB,M_eff,D], lc_k_in/lc_v_in [TB,Lc,D],
+      length/reset2/advance2 [TB,1] int32, w: dict of weight arrays.
+    Returns (new_utt f32, new_rc f32, new_mem_row f32|None,
+             new_mem_state, new_lc_k, new_lc_v) in state_dtype.
+    """
+    TB, _, D = utt.shape
     Dh = D // H
     K = M + R + Lc + U
     Q = R + U + (1 if use_mem else 0)
 
-    utt = utt_ref[...].astype(jnp.float32)              # [TB, U, D]
-    rc = rc_ref[...].astype(jnp.float32)                # [TB, R, D]
-
     # per-slot stream lifecycle masks (see emformer_stream_step): reset
     # zeroes the carried state in VMEM on load; advance gates the write-
     # back — this replaces two full-state jnp.where traversals in HBM
-    reset3 = (reset_ref[...] > 0)[:, :, None]           # [TB, 1, 1]
-    adv3 = (advance_ref[...] > 0)[:, :, None]
+    reset3 = (reset2 > 0)[:, :, None]                   # [TB, 1, 1]
+    adv3 = (advance2 > 0)[:, :, None]
 
-    lnin_s = lnin_s_ref[...].astype(jnp.float32)
-    lnin_b = lnin_b_ref[...].astype(jnp.float32)
+    lnin_s = w["lnin_s"].astype(jnp.float32)
+    lnin_b = w["lnin_b"].astype(jnp.float32)
     ln_rc = _ln(rc, lnin_s, lnin_b)
     ln_utt = _ln(utt, lnin_s, lnin_b)
 
@@ -81,12 +80,11 @@ def _layer_kernel(
         q_in = jnp.concatenate([ln_rc, ln_utt], axis=1)
 
     # ---- projections (2D dots on the MXU; rows = TB * tokens)
-    wq = wq_ref[...]
-    q = (jnp.dot(q_in.reshape(TB * Q, D).astype(cdt), wq,
+    q = (jnp.dot(q_in.reshape(TB * Q, D).astype(cdt), w["wq"],
                  preferred_element_type=jnp.float32).astype(cdt)
-         + bq_ref[...].astype(cdt)).reshape(TB, Q, D)
+         + w["bq"].astype(cdt)).reshape(TB, Q, D)
 
-    mem_state = jnp.where(reset3, 0, mem_state_ref[...])
+    mem_state = jnp.where(reset3, 0, mem_state_in)
     if use_mem:
         kv_in = jnp.concatenate(
             [mem_state.astype(cdt), ln_rc.astype(cdt),
@@ -95,21 +93,20 @@ def _layer_kernel(
         kv_in = jnp.concatenate(
             [ln_rc.astype(cdt), ln_utt.astype(cdt)], axis=1)
     n_kv = M + R + U
-    kv = (jnp.dot(kv_in.reshape(TB * n_kv, D), wkv_ref[...],
+    kv = (jnp.dot(kv_in.reshape(TB * n_kv, D), w["wkv"],
                   preferred_element_type=jnp.float32).astype(cdt)
-          + bkv_ref[...].astype(cdt)).reshape(TB, n_kv, 2 * D)
+          + w["bkv"].astype(cdt)).reshape(TB, n_kv, 2 * D)
     k_part = kv[:, :, :D]
     v_part = kv[:, :, D:]
     next_k = k_part[:, M + R:]                           # [TB, U, D]
     next_v = v_part[:, M + R:]
 
-    lc_k = jnp.where(reset3, 0, lc_k_ref[...]).astype(cdt)
-    lc_v = jnp.where(reset3, 0, lc_v_ref[...]).astype(cdt)
+    lc_k = jnp.where(reset3, 0, lc_k_in).astype(cdt)
+    lc_v = jnp.where(reset3, 0, lc_v_in).astype(cdt)
     full_k = jnp.concatenate([k_part[:, :M + R], lc_k, next_k], axis=1)
     full_v = jnp.concatenate([v_part[:, :M + R], lc_v, next_v], axis=1)
 
     # ---- key-validity mask from the per-stream fill counters
-    length = len_ref[...]                                # [TB, 1] int32
     m_kv = jnp.minimum(Lc, length)                       # [TB, 1]
     col = jax.lax.broadcasted_iota(jnp.int32, (TB, K), 1)
     valid = jnp.ones((TB, K), bool)
@@ -144,58 +141,96 @@ def _layer_kernel(
             preferred_element_type=jnp.float32))
     attn = jnp.concatenate(heads, axis=2).astype(cdt)
 
-    out = (jnp.dot(attn.reshape(TB * Q, D), wout_ref[...],
+    out = (jnp.dot(attn.reshape(TB * Q, D), w["wout"],
                    preferred_element_type=jnp.float32).astype(cdt)
-           + bout_ref[...].astype(cdt)).reshape(TB, Q, D)
+           + w["bout"].astype(cdt)).reshape(TB, Q, D)
 
     rc_utt_out = out[:, :R + U].astype(jnp.float32)
+    new_mem_row = None
     if use_mem:
         mem_out = out[:, R + U:].astype(jnp.float32)
         if tanh_on_mem:
             new_mem_row = jnp.tanh(mem_out)
         else:
             new_mem_row = jnp.clip(mem_out, -10.0, 10.0)
-        out_mem_row_ref[...] = new_mem_row
 
     # ---- residual FFN + output LN
     residual = rc_utt_out + jnp.concatenate([rc, utt], axis=1)
-    ff = _ln(residual, ffln_s_ref[...].astype(jnp.float32),
-             ffln_b_ref[...].astype(jnp.float32))
+    ff = _ln(residual, w["ffln_s"].astype(jnp.float32),
+             w["ffln_b"].astype(jnp.float32))
     act = {"relu": jax.nn.relu, "gelu": jax.nn.gelu,
            "silu": jax.nn.silu}[activation]
     T = R + U
-    h1 = act(jnp.dot(ff.reshape(TB * T, D).astype(cdt), ffw1_ref[...],
+    h1 = act(jnp.dot(ff.reshape(TB * T, D).astype(cdt), w["ffw1"],
                      preferred_element_type=jnp.float32).astype(cdt)
-             + ffb1_ref[...].astype(cdt))
-    h2 = (jnp.dot(h1, ffw2_ref[...],
+             + w["ffb1"].astype(cdt))
+    h2 = (jnp.dot(h1, w["ffw2"],
                   preferred_element_type=jnp.float32).astype(cdt)
-          + ffb2_ref[...].astype(cdt)).reshape(TB, T, D)
+          + w["ffb2"].astype(cdt)).reshape(TB, T, D)
     result = _ln(residual + h2.astype(jnp.float32),
-                 lnout_s_ref[...].astype(jnp.float32),
-                 lnout_b_ref[...].astype(jnp.float32))
+                 w["lnout_s"].astype(jnp.float32),
+                 w["lnout_b"].astype(jnp.float32))
 
-    out_rc_ref[...] = result[:, :R]
-    out_utt_ref[...] = result[:, R:]
+    new_rc = result[:, :R]
+    new_utt = result[:, R:]
 
     # ---- state roll (newest at the end), committed only where advance
     if use_mem:
         rolled = jnp.concatenate(
-            [mem_state[:, 1:],
-             mem_row_ref[...].astype(mem_state.dtype)], axis=1)
-        out_mem_state_ref[...] = jnp.where(adv3, rolled, mem_state)
+            [mem_state[:, 1:], mem_row.astype(mem_state.dtype)], axis=1)
+        new_mem_state = jnp.where(adv3, rolled, mem_state)
     else:
-        out_mem_state_ref[...] = mem_state
+        new_mem_state = mem_state
     keep = max(0, Lc - U)
     new_lc_k = jnp.concatenate(
         [lc_k[:, Lc - keep:], next_k[:, U - (Lc - keep):]],
-        axis=1).astype(out_lc_k_ref.dtype)
+        axis=1).astype(state_dtype)
     new_lc_v = jnp.concatenate(
         [lc_v[:, Lc - keep:], next_v[:, U - (Lc - keep):]],
-        axis=1).astype(out_lc_v_ref.dtype)
-    out_lc_k_ref[...] = jnp.where(adv3, new_lc_k,
-                                  lc_k.astype(out_lc_k_ref.dtype))
-    out_lc_v_ref[...] = jnp.where(adv3, new_lc_v,
-                                  lc_v.astype(out_lc_v_ref.dtype))
+        axis=1).astype(state_dtype)
+    new_lc_k = jnp.where(adv3, new_lc_k, lc_k.astype(state_dtype))
+    new_lc_v = jnp.where(adv3, new_lc_v, lc_v.astype(state_dtype))
+    return (new_utt, new_rc, new_mem_row, new_mem_state.astype(state_dtype),
+            new_lc_k, new_lc_v)
+
+
+def _layer_kernel(
+    # per-tile tensors
+    utt_ref, rc_ref, mem_row_ref, mem_state_ref, lc_k_ref, lc_v_ref,
+    len_ref, reset_ref, advance_ref,
+    # layer weights (full arrays, fetched once)
+    wq_ref, bq_ref, wkv_ref, bkv_ref, wout_ref, bout_ref,
+    lnin_s_ref, lnin_b_ref, ffln_s_ref, ffln_b_ref,
+    ffw1_ref, ffb1_ref, ffw2_ref, ffb2_ref, lnout_s_ref, lnout_b_ref,
+    # outputs
+    out_utt_ref, out_rc_ref, out_mem_row_ref, out_mem_state_ref,
+    out_lc_k_ref, out_lc_v_ref,
+    *, U: int, R: int, M: int, Lc: int, H: int, use_mem: bool,
+    tanh_on_mem: bool, neg_inf: float, activation: str, cdt,
+):
+    w = {"wq": wq_ref[...], "bq": bq_ref[...], "wkv": wkv_ref[...],
+         "bkv": bkv_ref[...], "wout": wout_ref[...], "bout": bout_ref[...],
+         "lnin_s": lnin_s_ref[...], "lnin_b": lnin_b_ref[...],
+         "ffln_s": ffln_s_ref[...], "ffln_b": ffln_b_ref[...],
+         "ffw1": ffw1_ref[...], "ffb1": ffb1_ref[...],
+         "ffw2": ffw2_ref[...], "ffb2": ffb2_ref[...],
+         "lnout_s": lnout_s_ref[...], "lnout_b": lnout_b_ref[...]}
+    (new_utt, new_rc, new_mem_row, new_mem_state, new_lc_k,
+     new_lc_v) = _layer_math(
+        utt_ref[...].astype(jnp.float32), rc_ref[...].astype(jnp.float32),
+        mem_row_ref[...].astype(jnp.float32) if use_mem else None,
+        mem_state_ref[...], lc_k_ref[...], lc_v_ref[...],
+        len_ref[...], reset_ref[...], advance_ref[...], w,
+        U=U, R=R, M=M, Lc=Lc, H=H, use_mem=use_mem,
+        tanh_on_mem=tanh_on_mem, neg_inf=neg_inf, activation=activation,
+        cdt=cdt, state_dtype=out_lc_k_ref.dtype)
+    out_utt_ref[...] = new_utt
+    out_rc_ref[...] = new_rc
+    if use_mem:
+        out_mem_row_ref[...] = new_mem_row
+    out_mem_state_ref[...] = new_mem_state.astype(out_mem_state_ref.dtype)
+    out_lc_k_ref[...] = new_lc_k
+    out_lc_v_ref[...] = new_lc_v
 
 
 @functools.partial(
@@ -319,3 +354,199 @@ def fused_emformer_layer(p: dict, utt: jax.Array, rc: jax.Array,
         new_mem_row = None
     return (new_utt, new_rc, new_mem_row, new_mem_state, new_lc_k,
             new_lc_v)
+
+
+# ---------------------------------------------------------------------------
+# Whole-encoder megakernel: all L layers in ONE pallas_call.
+#
+# Grid (L, B/TB), layer-major: for each layer l, sweep the batch tiles.
+# The inter-layer activations (utterance, right-context, carried memory
+# row) live in full-batch VMEM scratch for the whole kernel — they never
+# touch HBM between layers (the per-layer kernel round-trips ~45 MB of
+# fp32 activations per layer boundary at 512 slots).  Each layer's
+# weights are one grid-indexed block fetched exactly once per layer;
+# Mosaic prefetches layer l+1's weights and the next tile's state while
+# tile i of layer l computes.  This also collapses 20 kernel launches
+# into one.
+# ---------------------------------------------------------------------------
+
+_WNAMES = ("wq", "bq", "wkv", "bkv", "wout", "bout", "lnin_s", "lnin_b",
+           "ffln_s", "ffln_b", "ffw1", "ffb1", "ffw2", "ffb2",
+           "lnout_s", "lnout_b")
+
+
+def _stack_kernel(
+    x_ref, len_ref, reset_ref, advance_ref,
+    mem_ref, lc_k_ref, lc_v_ref,
+    # stacked weights, one layer's block per grid step
+    wq_ref, bq_ref, wkv_ref, bkv_ref, wout_ref, bout_ref,
+    lnin_s_ref, lnin_b_ref, ffln_s_ref, ffln_b_ref,
+    ffw1_ref, ffb1_ref, ffw2_ref, ffb2_ref, lnout_s_ref, lnout_b_ref,
+    # outputs
+    y_ref, out_mem_ref, out_lc_k_ref, out_lc_v_ref,
+    # scratch: full-batch inter-layer activations
+    utt_s, rc_s, memrow_s,
+    *, U: int, R: int, M: int, Lc: int, H: int, TB: int, use_mem: bool,
+    tanh_on_mem: bool, neg_inf: float, activation: str, cdt,
+):
+    l = pl.program_id(0)
+    i = pl.program_id(1)
+    ts = pl.ds(pl.multiple_of(i * TB, TB), TB)
+
+    @pl.when(l == 0)
+    def _():
+        # Layer 0 input: the chunk itself.  Initial memory row = mean of
+        # the RAW utterance (reference emformer.py:442).
+        xf = x_ref[...].astype(jnp.float32)
+        utt_s[ts] = xf[:, :U]
+        rc_s[ts] = xf[:, U:U + R]
+        if use_mem:
+            memrow_s[ts] = jnp.mean(xf[:, :U], axis=1, keepdims=True)
+
+    # every stacked weight block has a leading layer dim of 1; vectors
+    # arrive as [1, 1, N] blocks -> [1, N] (the helper's convention)
+    w = {"wq": wq_ref[0], "bq": bq_ref[0], "wkv": wkv_ref[0],
+         "bkv": bkv_ref[0], "wout": wout_ref[0], "bout": bout_ref[0],
+         "lnin_s": lnin_s_ref[0], "lnin_b": lnin_b_ref[0],
+         "ffln_s": ffln_s_ref[0], "ffln_b": ffln_b_ref[0],
+         "ffw1": ffw1_ref[0], "ffb1": ffb1_ref[0],
+         "ffw2": ffw2_ref[0], "ffb2": ffb2_ref[0],
+         "lnout_s": lnout_s_ref[0], "lnout_b": lnout_b_ref[0]}
+
+    (new_utt, new_rc, new_mem_row, new_mem_state, new_lc_k,
+     new_lc_v) = _layer_math(
+        utt_s[ts], rc_s[ts], memrow_s[ts] if use_mem else None,
+        mem_ref[0], lc_k_ref[0], lc_v_ref[0],
+        len_ref[...], reset_ref[...], advance_ref[...], w,
+        U=U, R=R, M=M, Lc=Lc, H=H, use_mem=use_mem,
+        tanh_on_mem=tanh_on_mem, neg_inf=neg_inf, activation=activation,
+        cdt=cdt, state_dtype=out_lc_k_ref.dtype)
+
+    utt_s[ts] = new_utt
+    rc_s[ts] = new_rc
+    if use_mem:
+        memrow_s[ts] = new_mem_row
+    # y maps to batch tile i for every l; the last layer's write wins.
+    y_ref[...] = new_utt
+    out_mem_ref[0] = new_mem_state.astype(out_mem_ref.dtype)
+    out_lc_k_ref[0] = new_lc_k
+    out_lc_v_ref[0] = new_lc_v
+
+
+@functools.partial(
+    jax.jit, static_argnames=("U", "R", "M", "Lc", "H", "use_mem",
+                              "tanh_on_mem", "neg_inf", "activation",
+                              "cdt_name", "tile", "interpret"))
+def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
+                         lc_k: jax.Array, lc_v: jax.Array,
+                         length: jax.Array, reset=None, advance=None, *,
+                         U: int, R: int, M: int, Lc: int, H: int,
+                         use_mem: bool, tanh_on_mem: bool, neg_inf: float,
+                         activation: str, cdt_name: str = "bfloat16",
+                         tile: int = 64, interpret: bool = False):
+    """All-layer streaming Emformer step as one Pallas kernel.
+
+    params: stacked layer params ([L, ...] leaves, as init_emformer_params
+    builds them).  x [B, U+R, D] f32 (utterance then right-context);
+    mem [L,B,M,D] / lc_k / lc_v [L,B,Lc,D] carried state; length [B] i32
+    RESET-EFFECTIVE frame counters; reset/advance optional [B] bool slot
+    lifecycle masks.  Returns (y [B,U,D] f32, new_mem, new_lc_k, new_lc_v).
+    """
+    L = params["w_q"].shape[0]
+    B = x.shape[0]
+    D = x.shape[2]
+    if reset is None:
+        reset = jnp.zeros((B,), bool)
+    if advance is None:
+        advance = jnp.ones((B,), bool)
+    cdt = jnp.dtype(cdt_name)
+    TB = min(tile, B)
+    while B % TB:
+        TB -= 1
+    NT = B // TB
+
+    M_eff = max(M, 1)
+    if M == 0:
+        mem = jnp.zeros((L, B, 1, D), mem.dtype)
+
+    def _shape(w):
+        # stacked vectors [L, N] -> [L, 1, N] so the (1, 1, N) block's
+        # trailing dims match the array (a Mosaic block-shape requirement)
+        return w[:, None, :] if w.ndim == 2 else w
+
+    def cast(name):
+        return _shape(params[name].astype(cdt))
+
+    def f32(name):
+        return _shape(params[name].astype(jnp.float32))
+
+    weights = [
+        cast("w_q"), cast("b_q"), cast("w_kv"), cast("b_kv"),
+        cast("w_out"), cast("b_out"),
+        f32("ln_in_scale"), f32("ln_in_bias"),
+        f32("ff_ln_scale"), f32("ff_ln_bias"),
+        cast("ff_w1"), cast("ff_b1"), cast("ff_w2"), cast("ff_b2"),
+        f32("ln_out_scale"), f32("ln_out_bias"),
+    ]
+
+    def weight_spec(shape):
+        # one layer's block: [1, ...], indexed by the layer grid dim
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape[1:],
+                            lambda l, i, nd=nd: (l,) + (0,) * (nd - 1),
+                            memory_space=pltpu.VMEM)
+
+    def state_spec(rows, dt_unused=None):
+        return pl.BlockSpec((1, TB, rows, D), lambda l, i: (l, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    mask_spec = pl.BlockSpec((TB, 1), lambda l, i: (i, 0),
+                             memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((TB, x.shape[1], D), lambda l, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),           # x
+        mask_spec, mask_spec, mask_spec,                 # len/reset/advance
+        state_spec(M_eff), state_spec(Lc), state_spec(Lc),
+    ] + [weight_spec(w.shape) for w in weights]
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, U, D), jnp.float32),            # y
+        jax.ShapeDtypeStruct((L, B, M_eff, D), mem.dtype),
+        jax.ShapeDtypeStruct((L, B, Lc, D), lc_k.dtype),
+        jax.ShapeDtypeStruct((L, B, Lc, D), lc_v.dtype),
+    )
+    out_specs = (
+        pl.BlockSpec((TB, U, D), lambda l, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        state_spec(M_eff), state_spec(Lc), state_spec(Lc),
+    )
+
+    kernel = functools.partial(
+        _stack_kernel, U=U, R=R, M=M, Lc=Lc, H=H, TB=TB, use_mem=use_mem,
+        tanh_on_mem=tanh_on_mem, neg_inf=neg_inf, activation=activation,
+        cdt=cdt)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(L, NT),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((B, U, D), jnp.float32),    # utterance carry
+            pltpu.VMEM((B, R, D), jnp.float32),    # right-context carry
+            pltpu.VMEM((B, 1, D), jnp.float32),    # memory-row carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(x.astype(jnp.float32), length.astype(jnp.int32).reshape(B, 1),
+      reset.astype(jnp.int32).reshape(B, 1),
+      advance.astype(jnp.int32).reshape(B, 1),
+      mem, lc_k, lc_v, *weights)
+
+    y, new_mem, new_lc_k, new_lc_v = outs
+    if M == 0:
+        new_mem = new_mem[:, :, :0]
+    return y, new_mem, new_lc_k, new_lc_v

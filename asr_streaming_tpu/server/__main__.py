@@ -72,7 +72,7 @@ def build_server(settings, max_slots=None):
         from asr_streaming_tpu.models.emformer import EmformerConfig
         rnnt_cfg = RNNTConfig(emformer=dataclasses.replace(
             RNNTConfig().emformer, compute_dtype=dtype,
-            use_pallas_layer=use_pallas))
+            use_pallas_stack=use_pallas))
         asr_cfg = dataclasses.replace(ASRConfig.vietnamese(dtype),
                                       audio=settings.audio)
         cfg = ServingConfig(asr=asr_cfg, model_kind="rnnt", rnnt=rnnt_cfg,

@@ -231,10 +231,11 @@ def _worker_main(conn, init: WorkerInit, staging_name: str,
             from asr_streaming_tpu.models.asr import with_pallas_layer
             new_asr = with_pallas_layer(cfg.asr)
             rnnt = cfg.rnnt
-            if rnnt is not None and not rnnt.emformer.use_pallas_layer:
+            if rnnt is not None and not (rnnt.emformer.use_pallas_layer
+                                         or rnnt.emformer.use_pallas_stack):
                 rnnt = dataclasses.replace(
                     rnnt, emformer=dataclasses.replace(
-                        rnnt.emformer, use_pallas_layer=True))
+                        rnnt.emformer, use_pallas_stack=True))
             cfg = dataclasses.replace(cfg, asr=new_asr, rnnt=rnnt)
         B = init.max_slots
         params = init_serving_params(jax.random.PRNGKey(init.seed), cfg)

@@ -45,12 +45,20 @@ def _run_steps(cfg, n_steps=4, B=4, seed=0, dtype=jnp.float32):
         lambda a: np.asarray(a, np.float32), state)
 
 
+def _fused(cfg, mode, tile):
+    if mode == "stack":
+        return dataclasses.replace(cfg, use_pallas_stack=True,
+                                   pallas_stack_tile=tile)
+    return dataclasses.replace(cfg, use_pallas_layer=True, pallas_tile=tile)
+
+
+@pytest.mark.parametrize("mode", ["layer", "stack"])
 @pytest.mark.parametrize("base", [VI_CFG, EN_CFG], ids=["vi_mem", "en_nomem"])
-def test_fused_layer_matches_oracle_fp32(base):
+def test_fused_layer_matches_oracle_fp32(base, mode):
     """fp32: the kernel and the XLA path agree to numerical noise across
     multiple steps (masks evolve as length grows from 0)."""
     ys_ref, st_ref = _run_steps(base)
-    fused = dataclasses.replace(base, use_pallas_layer=True, pallas_tile=2)
+    fused = _fused(base, mode, 2)
     ys_ker, st_ker = _run_steps(fused)
     np.testing.assert_allclose(ys_ker, ys_ref, rtol=2e-5, atol=2e-5)
     for a, b, name in [(st_ker.mem, st_ref.mem, "mem"),
@@ -60,26 +68,38 @@ def test_fused_layer_matches_oracle_fp32(base):
     np.testing.assert_array_equal(st_ker.length, st_ref.length)
 
 
-def test_fused_layer_matches_oracle_bf16():
+@pytest.mark.parametrize("mode", ["layer", "stack"])
+def test_fused_layer_matches_oracle_bf16(mode):
     """bf16 (the serving dtype): same rounding decisions as the oracle up
     to bf16-scale tolerance."""
     ys_ref, _ = _run_steps(VI_CFG, dtype=jnp.bfloat16)
-    fused = dataclasses.replace(VI_CFG, use_pallas_layer=True,
-                                pallas_tile=4)
+    fused = _fused(VI_CFG, mode, 4)
     ys_ker, _ = _run_steps(fused, dtype=jnp.bfloat16)
     np.testing.assert_allclose(ys_ker, ys_ref, rtol=3e-2, atol=3e-2)
 
 
-def test_fused_layer_uneven_batch_tile():
+@pytest.mark.parametrize("mode", ["layer", "stack"])
+def test_fused_layer_uneven_batch_tile(mode):
     """B not a multiple of the tile: falls back to the largest divisor."""
-    fused = dataclasses.replace(VI_CFG, use_pallas_layer=True,
-                                pallas_tile=4)
+    fused = _fused(VI_CFG, mode, 4)
     ys_ref, _ = _run_steps(VI_CFG, B=6)
     ys_ker, _ = _run_steps(fused, B=6)
     np.testing.assert_allclose(ys_ker, ys_ref, rtol=2e-5, atol=2e-5)
 
 
-def test_fused_layer_lifecycle_masks():
+def test_stack_matches_per_layer_bitexact_bf16():
+    """The megakernel shares _layer_math with the per-layer kernel, so in
+    bf16 the two Pallas paths must agree BIT-exactly (the oracle
+    comparison above allows bf16 rounding slack; this one does not)."""
+    ysL, stL = _run_steps(_fused(VI_CFG, "layer", 2), dtype=jnp.bfloat16)
+    ysS, stS = _run_steps(_fused(VI_CFG, "stack", 2), dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(ysS, ysL)
+    np.testing.assert_array_equal(stS.lc_k, stL.lc_k)
+    np.testing.assert_array_equal(stS.mem, stL.mem)
+
+
+@pytest.mark.parametrize("mode", ["layer", "stack"])
+def test_fused_layer_lifecycle_masks(mode):
     """reset/advance masks fused in the kernel == the XLA oracle's
     jnp.where selects, across steps with per-slot churn."""
     import jax.numpy as jnp
@@ -87,7 +107,7 @@ def test_fused_layer_lifecycle_masks():
     B, n_steps = 4, 5
     rng = np.random.default_rng(9)
     base = dataclasses.replace(VI_CFG, compute_dtype=jnp.float32)
-    fused = dataclasses.replace(base, use_pallas_layer=True, pallas_tile=2)
+    fused = _fused(base, mode, 2)
     params = init_emformer_params(jax.random.PRNGKey(2), base)
     st_ref = init_emformer_state(base, B)
     st_ker = init_emformer_state(fused, B)

@@ -58,7 +58,13 @@ def main():
     rng = np.random.default_rng(0)
 
     for variant in args.variants.split(","):
-        if variant.startswith("pallas"):
+        if variant.startswith("stack"):
+            tile = int(variant.split(":")[1]) if ":" in variant else 64
+            cfg = EmformerConfig(compute_dtype=jnp.bfloat16,
+                                 use_pallas_stack=True,
+                                 pallas_stack_tile=tile)
+            label = f"stack tile={tile}"
+        elif variant.startswith("pallas"):
             tile = int(variant.split(":")[1]) if ":" in variant else 64
             cfg = EmformerConfig(compute_dtype=jnp.bfloat16,
                                  use_pallas_layer=True, pallas_tile=tile,
