@@ -208,13 +208,27 @@ def silero_chunk_probs(params: dict, cfg: SileroConfig,
            + jnp.arange(cfg.context + cfg.window)[None, :])
     windows = wave[:, idx].transpose(1, 0, 2)
 
+    # The conv encoder has no cross-window state — run it for ALL windows
+    # as one big batch (one conv stack launch instead of n_win scan steps;
+    # v5e @512 slots: 3.5 -> ~1 ms).  Only the LSTM cell is sequential.
+    feats = _window_features(
+        params, cfg,
+        windows.reshape(n_win * B, -1)).reshape(n_win, B, -1)
+
     state0 = jnp.zeros((2, B, cfg.lstm_hidden), jnp.float32)
 
-    def body(state, win):
-        prob, state = silero_window_step(params, cfg, win, state)
-        return state, prob
+    def body(state, f):
+        h, c = state[0], state[1]
+        gates = (f @ params["lstm_wi"] + h @ params["lstm_wh"]
+                 + params["lstm_b"])
+        i, fg, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(fg) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        prob = jax.nn.sigmoid(
+            jax.nn.relu(h) @ params["out_w"] + params["out_b"])[:, 0]
+        return jnp.stack([h, c]), prob
 
-    _, probs = jax.lax.scan(body, state0, windows)
+    _, probs = jax.lax.scan(body, state0, feats)
     return probs.T                                         # [B, n_win]
 
 

@@ -168,7 +168,8 @@ def make_mel_params(cfg: MelConfig) -> dict:
 
 def log_mel(params: dict, cfg: MelConfig, waveform: jax.Array,
             mean: Optional[jax.Array] = None,
-            invstddev: Optional[jax.Array] = None) -> jax.Array:
+            invstddev: Optional[jax.Array] = None,
+            fast_dft: Optional[bool] = None) -> jax.Array:
     """Compute log-mel features.
 
     Args:
@@ -182,21 +183,48 @@ def log_mel(params: dict, cfg: MelConfig, waveform: jax.Array,
         pad = cfg.n_fft // 2
         waveform = jnp.pad(waveform, ((0, 0), (pad, pad)), mode="reflect")
 
-    # Strided conv == windowed real DFT of every frame (implicit GEMM on MXU).
-    spec = jax.lax.conv_general_dilated(
-        waveform[:, None, :].astype(jnp.float32),
-        params["dft_kernel"],
-        window_strides=(cfg.hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCW", "OIW", "NCW"),
-    )                                                      # [B, 2F, frames]
+    B, T = waveform.shape
+    hop, n_fft = cfg.hop_length, cfg.n_fft
     n_freqs = cfg.n_freqs
-    re, im = spec[:, :n_freqs, :], spec[:, n_freqs:, :]
-    power = re * re + im * im                              # [B, F, frames]
-    if cfg.power == 1.0:
-        power = jnp.sqrt(power)
-
-    mel = jnp.einsum("bft,fm->btm", power, params["mel_fb"])
+    if fast_dft is None:
+        fast_dft = jax.default_backend() == "tpu"
+    if T % hop == 0 and n_fft % hop == 0 and fast_dft:
+        # Fast path (TPU only): frame via reshape+slice (layout-only) and
+        # evaluate the windowed real DFT as ONE dense [B*frames, n_fft]
+        # matmul — XLA shapes this far better than the equivalent strided
+        # C=1 conv (v5e @512 slots: 1.93 vs 3.26 ms, bit-identical output;
+        # the MXU contracts K in a fixed order, so results don't depend on
+        # the batch row count).  XLA:CPU's gemm reduction order DOES vary
+        # with the row count, which breaks sharded-vs-unsharded bit
+        # equality (test_serving_sharded) — CPU keeps the conv spelling.
+        waveform = waveform.astype(jnp.float32)
+        n_frames = cfg.num_frames(T if not cfg.center else T - n_fft)
+        xr = waveform.reshape(B, T // hop, hop)
+        frames = jnp.concatenate(
+            [xr[:, i:i + n_frames] for i in range(n_fft // hop)], axis=2)
+        dft_mat = params["dft_kernel"][:, 0, :].T          # [n_fft, 2F]
+        spec = jnp.dot(frames.reshape(B * n_frames, n_fft), dft_mat)
+        spec = spec.reshape(B, n_frames, 2 * n_freqs)      # [B, frames, 2F]
+        re, im = spec[..., :n_freqs], spec[..., n_freqs:]
+        power = re * re + im * im                          # [B, frames, F]
+        if cfg.power == 1.0:
+            power = jnp.sqrt(power)
+        mel = power @ params["mel_fb"]
+    else:
+        # General path (e.g. EN: n_fft=400 not a hop multiple): strided conv
+        # == windowed real DFT of every frame (implicit GEMM on MXU).
+        spec = jax.lax.conv_general_dilated(
+            waveform[:, None, :].astype(jnp.float32),
+            params["dft_kernel"],
+            window_strides=(cfg.hop_length,),
+            padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"),
+        )                                                  # [B, 2F, frames]
+        re, im = spec[:, :n_freqs, :], spec[:, n_freqs:, :]
+        power = re * re + im * im                          # [B, F, frames]
+        if cfg.power == 1.0:
+            power = jnp.sqrt(power)
+        mel = jnp.einsum("bft,fm->btm", power, params["mel_fb"])
 
     if cfg.output_transform == "clamp_log":
         out = jnp.log(jnp.clip(mel, cfg.clamp_min, None))

@@ -101,3 +101,21 @@ def test_en_global_stats_normalization():
     normed = log_mel(params, cfg, wave, mean=mean, invstddev=inv)
     np.testing.assert_allclose(np.asarray(normed),
                                (np.asarray(base) - 1.5) * 0.5, rtol=1e-5)
+
+
+def test_fast_dft_path_matches_conv_path():
+    """The framed-matmul DFT (TPU serving fast path) equals the strided-conv
+    spelling.  On TPU they are bit-identical; on CPU the gemm reduction
+    order differs with row count, hence the tolerance (and hence the fast
+    path being TPU-gated in production — see log_mel)."""
+    cfg = MelConfig.for_vietnamese()
+    assert cfg.n_fft % cfg.hop_length == 0  # fast path is reachable for vi
+    params = make_mel_params(cfg)
+    rng = np.random.default_rng(3)
+    wave = jnp.asarray(rng.standard_normal((4, 13440)).astype(np.float32)
+                       * 0.1)
+    fast = log_mel(params, cfg, wave, fast_dft=True)
+    conv = log_mel(params, cfg, wave, fast_dft=False)
+    assert fast.shape == conv.shape == (4, 80, 128)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(conv),
+                               rtol=2e-4, atol=2e-4)

@@ -64,6 +64,14 @@ def main():
     wave = jnp.asarray(rng.standard_normal(
         (B, cfg.asr.audio.chunk_length)), jnp.float32)
 
+    # warm the tunnel: a fresh process needs ~30 dispatches to reach
+    # steady state (first-variant readings are otherwise ~10x inflated)
+    warm = jax.jit(lambda x: x + 1.0)
+    tw = jnp.zeros((8, 8))
+    for i in range(40):
+        out = warm(tw)
+    jax.block_until_ready(out)
+
     # 1. frontend
     fe = jax.jit(lambda w: log_mel(params["frontend"], cfg.asr.mel, w))
     print(f"log_mel:          {chained(fe, wave):8.2f} ms")
