@@ -153,12 +153,10 @@ def build_server(settings, max_slots=None):
             seed=0, checkpoint=settings.checkpoint,
             vad_weights=settings.vad_weights)
     groups = settings.scheduler_groups
-    if groups > 1 and "device_worker" in sched_kwargs:
-        logging.warning("device_worker uses one device process — "
-                        "scheduler_groups=%d ignored (monolithic ticks)",
-                        groups)
-        groups = 1
-    if groups > 1:
+    if groups > 1 or "device_worker" in sched_kwargs:
+        # device_worker + groups multiplex through ONE child process
+        # (PipelinedWorkerClient): group ticks pipeline through the
+        # device instead of ping-ponging one tunnel round trip each
         from asr_streaming_tpu.streaming.scheduler import GroupedScheduler
         scheduler = GroupedScheduler(
             params, cfg, vocab, max_slots=slots,

@@ -63,7 +63,8 @@ class Scheduler:
                  en_beam_width: int = 10,
                  pipeline_depth: int = 1,
                  mesh=None,
-                 device_worker: Optional[dict] = None):
+                 device_worker: Optional[dict] = None,
+                 worker=None):
         self.params = params
         self.cfg = cfg
         self.vocab = list(vocab)
@@ -105,8 +106,15 @@ class Scheduler:
         # Device-process isolation (streaming/device_worker.py): the
         # serving step runs in a spawned child; staging buffers are its
         # shared memory, and this Scheduler keeps only the host half.
-        self.worker = None
-        if device_worker is not None:
+        self.worker = worker       # pre-built client / group view
+        if device_worker is not None and worker is None:
+            from asr_streaming_tpu.streaming.device_worker import (
+                DeviceWorkerClient,
+            )
+            self.worker = DeviceWorkerClient(
+                cfg, max_slots, pipeline_depth=pipeline_depth,
+                **device_worker)
+        if self.worker is not None:
             if mesh is not None:
                 raise ValueError(
                     "device_worker and mesh are exclusive: the worker "
@@ -116,12 +124,6 @@ class Scheduler:
                 raise ValueError(
                     "en_beam_partials needs in-process device access; "
                     "disable it for device_worker mode")
-            from asr_streaming_tpu.streaming.device_worker import (
-                DeviceWorkerClient,
-            )
-            self.worker = DeviceWorkerClient(
-                cfg, max_slots, pipeline_depth=pipeline_depth,
-                **device_worker)
 
         self.is_rnnt = cfg.model_kind == "rnnt"
         if self.worker is None:
@@ -159,8 +161,19 @@ class Scheduler:
         # is tiny relative to the device step (local PCIe hosts); on this
         # remote tunnel depth 1 measures fastest (1824 vs 1223 streams).
         self.pipeline_depth = max(1, pipeline_depth)
-        self._pending: deque = deque()   # (out, ready, t_dispatch)
+        self._pending: deque = deque()   # (out, ready, t_dispatch, fut)
         self.pending_slots: set = set()
+        # Async harvest: the blocking device->host pack read runs on a
+        # dedicated thread, submitted at dispatch.  The remote tunnel's
+        # one-shot step latency is ~52 ms while its pipelined throughput
+        # is ~22 ms/step (measured, NOTES_r2.md) — with the read
+        # off-thread, OTHER groups' ticks (GroupedScheduler) proceed
+        # while this group's result is still in flight, so the tunnel
+        # pipeline stays full instead of ping-ponging one round trip per
+        # tick.  Plain threads are safe with device work on this backend
+        # (asyncio loops are not — see device_worker.py notes).
+        self._async_harvest = not os.environ.get("ASR_NO_ASYNC_HARVEST")
+        self._harvest_pool = None
         self.audio_ctx = init_audio_context(cfg, max_slots) \
             if self.worker is None else None
 
@@ -256,6 +269,9 @@ class Scheduler:
 
     def close(self) -> None:
         """Shut down the device worker (no-op for in-process mode)."""
+        if self._harvest_pool is not None:
+            self._harvest_pool.shutdown(wait=True)
+            self._harvest_pool = None
         if self.worker is not None:
             self.worker.close()
 
@@ -373,7 +389,7 @@ class Scheduler:
         events: List[StreamEvent] = []
         if self._pending and (len(self._pending) >= self.pipeline_depth
                               or not ready):
-            out_prev, ready_prev, t_dispatch = self._pending.popleft()
+            out_prev, ready_prev, t_dispatch, fut = self._pending.popleft()
             # Harvest watchdog: a multi-minute block means the backend
             # lost the result (observed on the axon remote backend when
             # an asyncio event loop churns in the same process) — one
@@ -383,13 +399,15 @@ class Scheduler:
             self._ensure_watchdog()
             self._harvest_started = time.monotonic()
             try:
-                if self.worker is not None:
+                if fut is not None:
+                    pack = fut.result()             # read started at dispatch
+                elif self.worker is not None:
                     pack = self.worker.harvest()    # blocks until done
                 else:
                     pack = np.asarray(out_prev.pack)  # blocks until done
             finally:
                 self._harvest_started = None
-            self.pending_slots = {slot for _, batch, _ in self._pending
+            self.pending_slots = {slot for _, batch, _, _ in self._pending
                                   for slot, _ in batch}
             self.timers.observe("device_step",
                                 time.perf_counter() - t_dispatch)
@@ -404,10 +422,13 @@ class Scheduler:
                 active[slot] = True
                 contain[slot] = s.is_contain_token
             t_dispatch = time.perf_counter()
+            fut = None
             if self.worker is not None:
                 self.worker.dispatch(staged_idx, contain, active,
                                      self._new_stream, self._needs_reset)
                 out = None
+                if self._async_harvest and self.worker.supports_pipelining:
+                    fut = self.worker.harvest_async()
             else:
                 out = self._run_step(
                     seg_dev, jnp.asarray(contain), jnp.asarray(active),
@@ -421,9 +442,16 @@ class Scheduler:
                         out.pack.copy_to_host_async()
                     except AttributeError:
                         pass
+                if self._async_harvest:
+                    if self._harvest_pool is None:
+                        from concurrent.futures import ThreadPoolExecutor
+                        self._harvest_pool = ThreadPoolExecutor(
+                            max_workers=1,
+                            thread_name_prefix="pack-harvest")
+                    fut = self._harvest_pool.submit(np.asarray, out.pack)
             self._needs_reset[:] = False
             self._new_stream[:] = False
-            self._pending.append((out, ready, t_dispatch))
+            self._pending.append((out, ready, t_dispatch, fut))
             self.pending_slots |= {slot for slot, _ in ready}
 
         self.ticks += 1
@@ -554,11 +582,6 @@ class GroupedScheduler:
                  vocab: Sequence[str], max_slots: int = 512,
                  groups: int = 4, **kwargs):
         groups = max(1, min(groups, max_slots))
-        if groups > 1 and kwargs.get("device_worker") is not None:
-            raise ValueError(
-                "device_worker spawns one device process; grouped mode "
-                "would spawn one per group (multiple processes cannot "
-                "share a TPU) — use groups=1 with device_worker")
         per = -(-max_slots // groups)          # ceil; capacity >= max_slots
         mesh = kwargs.get("mesh")
         if mesh is not None:
@@ -566,8 +589,26 @@ class GroupedScheduler:
             # the group size up so any (groups, data_parallel) pair works
             dp = mesh.shape["data"]
             per = -(-per // dp) * dp
-        self.groups = [Scheduler(params, cfg, vocab, max_slots=per,
-                                 **kwargs) for _ in range(groups)]
+        device_worker = kwargs.pop("device_worker", None)
+        if device_worker is not None:
+            # ALL groups multiplex through ONE child process (one process
+            # owns the TPU): the PipelinedWorkerClient keeps one batch in
+            # flight per group and pushes packs back through a shm ring,
+            # so group ticks pipeline through the device instead of
+            # ping-ponging one round trip each.
+            from asr_streaming_tpu.streaming.device_worker import (
+                PipelinedWorkerClient,
+            )
+            client = PipelinedWorkerClient(
+                cfg, per, groups,
+                pipeline_depth=kwargs.get("pipeline_depth", 1),
+                **device_worker)
+            self.groups = [Scheduler(params, cfg, vocab, max_slots=per,
+                                     worker=client.group_view(g), **kwargs)
+                           for g in range(groups)]
+        else:
+            self.groups = [Scheduler(params, cfg, vocab, max_slots=per,
+                                     **kwargs) for _ in range(groups)]
         self.cfg = cfg
         self.vocab = self.groups[0].vocab
         self.language = self.groups[0].language

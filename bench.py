@@ -44,6 +44,12 @@ GROUPS = 2
 ROUNDS_A = 16          # full-service rounds in the throughput phase
 SECONDS_B = 10.0       # paced-load latency phase duration
 
+# env overrides for sweeps (the shipped defaults above are what the
+# driver's capture runs)
+import os as _os
+SLOTS = int(_os.environ.get("BENCH_SLOTS", SLOTS))
+GROUPS = int(_os.environ.get("BENCH_GROUPS", GROUPS))
+
 
 def wait_for_backend(budget_s: float = 1500.0, probe_s: float = 90.0) -> bool:
     """Health-gate: the axon remote backend can be WEDGED (any device op

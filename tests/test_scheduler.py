@@ -156,3 +156,27 @@ def test_mulaw_upload_encoding_roundtrip():
     s.accept_waveform(speechy_audio(2.5, seed=4))
     events = sched.drain()
     assert any(e.is_final for e in events)
+
+
+def test_async_harvest_equals_sync(monkeypatch):
+    """Async harvest (pack read on a dedicated thread, started at
+    dispatch) must produce exactly the same event stream as the
+    synchronous in-tick read."""
+    audio = [speechy_audio(2.0, seed=10 + i) for i in range(3)]
+
+    def run(async_on):
+        if async_on:
+            monkeypatch.delenv("ASR_NO_ASYNC_HARVEST", raising=False)
+        else:
+            monkeypatch.setenv("ASR_NO_ASYNC_HARVEST", "1")
+        sched = make_scheduler(max_slots=4, seed=7, rules=FLUSH_RULES)
+        assert sched._async_harvest is async_on
+        streams = [sched.admit(f"s{i}") for i in range(3)]
+        for s, a in zip(streams, audio):
+            s.accept_waveform(a)
+            s.accept_waveform(silence(1.5))
+        events = [(e.stream_id, e.kind, e.text) for e in sched.drain()]
+        sched.close()
+        return events
+
+    assert run(True) == run(False)
