@@ -359,23 +359,37 @@ class Scheduler:
         if ready:
             staging = self._segment[self._staging_idx]
             self._staging_idx = (self._staging_idx + 1) % len(self._segment)
-            for slot, s in ready:
-                self._seg_f32[slot] = s.pop_chunk()
-            # native single-pass encode (a few ms); numpy fallback is
-            # bit-identical (models/serving.py mulaw LUT / int16 clip)
             from asr_streaming_tpu.utils import codec_native
-            if self._mulaw:
-                if not codec_native.mulaw_encode_into(self._seg_f32,
-                                                      staging):
-                    from asr_streaming_tpu.models.serving import \
-                        mulaw_encode_host
-                    staging[:] = mulaw_encode_host(self._seg_f32)
+            if (codec_native.gather_available()
+                    and not os.environ.get("ASR_NO_FUSED_GATHER")):
+                # fused native path: encode each ready stream's segment
+                # VIEW straight into its staging row — no Python copy
+                # loop, no whole-matrix encode of idle rows
+                views = []
+                slots_arr = np.empty(len(ready), np.int32)
+                for i, (slot, s) in enumerate(ready):
+                    views.append(s.pop_chunk_view())
+                    slots_arr[i] = slot
+                codec_native.gather_encode_into(views, slots_arr, staging,
+                                                self._mulaw)
+                del views
             else:
-                if not codec_native.pcm16_encode_into(self._seg_f32,
-                                                      staging):
-                    scaled = np.clip(self._seg_f32 * 32767.0,
-                                     -32768, 32767)
-                    staging[:] = scaled.astype(np.int16)
+                for slot, s in ready:
+                    self._seg_f32[slot] = s.pop_chunk()
+                # native single-pass encode (a few ms); numpy fallback is
+                # bit-identical (models/serving.py mulaw LUT / int16 clip)
+                if self._mulaw:
+                    if not codec_native.mulaw_encode_into(self._seg_f32,
+                                                          staging):
+                        from asr_streaming_tpu.models.serving import \
+                            mulaw_encode_host
+                        staging[:] = mulaw_encode_host(self._seg_f32)
+                else:
+                    if not codec_native.pcm16_encode_into(self._seg_f32,
+                                                          staging):
+                        scaled = np.clip(self._seg_f32 * 32767.0,
+                                         -32768, 32767)
+                        staging[:] = scaled.astype(np.int16)
             if self.worker is None:
                 seg_dev = jnp.asarray(staging)   # async H2D copy starts
             else:

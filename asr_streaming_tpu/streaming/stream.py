@@ -128,6 +128,18 @@ class Stream:
             self.buffer = self.buffer[self.audio.segment_length:]
         return seg
 
+    def pop_chunk_view(self) -> np.ndarray:
+        """Zero-copy :meth:`pop_chunk` for the fused native gather+encode
+        path: returns a VIEW of the new-segment audio and slides the
+        window.  Safe against concurrent ``accept_waveform`` because
+        appends build a NEW array (np.concatenate) rather than writing
+        in place — the returned view keeps the old backing array alive
+        and immutable-in-practice until the caller drops it."""
+        with self._buffer_lock:
+            seg = self.new_segment_audio()
+            self.buffer = self.buffer[self.audio.segment_length:]
+        return seg
+
     def _advance_window(self) -> None:
         with self._buffer_lock:
             self.buffer = self.buffer[self.audio.segment_length:]
