@@ -53,18 +53,24 @@ class ASRConfig:
 
 
 def with_pallas_layer(cfg: ASRConfig, enable: Optional[bool] = None,
-                      mode: str = "stack") -> ASRConfig:
+                      mode: str = "stack",
+                      quant: str = "none") -> ASRConfig:
     """Route the Emformer through the fused Pallas fast path.
 
     mode="stack" (default): the whole-encoder megakernel
     (ops/pallas_emformer.py:fused_emformer_stack) — one launch per step,
     inter-layer activations in VMEM (v5e @512 slots bf16: 14.8 ms/step).
     mode="layer": the per-layer kernel (19.5 ms/step; XLA scan: 36 ms).
+    quant="int8": W8A8 projections/FFN inside the kernels (int8 MXU) —
+    opt-in; measured neutral at D=512 (kernels are VPU-bound), useful
+    at larger d_model.  bf16 stays the default numerics.
     Defaults to on for TPU backends, off elsewhere (the kernels would run
-    interpreted).  Env override ASR_PALLAS_MODE=stack|layer|off.
+    interpreted).  Env overrides ASR_PALLAS_MODE=stack|layer|off,
+    ASR_PALLAS_QUANT=int8|none.
     """
     import os
     mode = os.environ.get("ASR_PALLAS_MODE", mode)
+    quant = os.environ.get("ASR_PALLAS_QUANT", quant)
     if enable is None:
         enable = jax.default_backend() == "tpu"
     if mode == "off":
@@ -72,7 +78,8 @@ def with_pallas_layer(cfg: ASRConfig, enable: Optional[bool] = None,
     emf = dataclasses.replace(
         cfg.encoder.emformer,
         use_pallas_stack=enable and mode != "layer",
-        use_pallas_layer=enable and mode == "layer")
+        use_pallas_layer=enable and mode == "layer",
+        quant=quant if enable else "none")
     return dataclasses.replace(
         cfg, encoder=dataclasses.replace(cfg.encoder, emformer=emf))
 

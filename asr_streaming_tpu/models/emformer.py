@@ -77,6 +77,14 @@ class EmformerConfig:
     # inter-layer activations carried in VMEM scratch, one launch per
     # step.  Takes precedence over use_pallas_layer.
     use_pallas_stack: bool = False
+    # "int8": W8A8 quantized projections/FFN inside the Pallas kernels
+    # (per-output-channel int8 weights re-derived from the f32 params
+    # each step, per-row dynamic activation quant, int8 MXU dots).
+    # Measured NEUTRAL at D=512 (the kernels are VPU-bound, not
+    # MXU-bound — see fused_emformer_stack); worthwhile at larger
+    # d_model.  Only the Pallas paths honor it; the XLA oracle path
+    # always runs the configured compute_dtype.  Opt-in.
+    quant: str = "none"
     pallas_tile: int = 64           # per-layer kernel: batch rows per grid
                                     # step (v5e sweep @512 slots: 32=27.4ms,
                                     # 64=21.2ms, 128+=VMEM OOM >100MB)
@@ -234,7 +242,8 @@ def _layer_step(cfg: EmformerConfig, p: dict, utt: jax.Array, rc: jax.Array,
             tanh_on_mem=cfg.tanh_on_mem, neg_inf=cfg.negative_inf,
             activation=cfg.activation,
             cdt_name=jnp.dtype(cdt).name, tile=cfg.pallas_tile,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            quant=cfg.quant == "int8")
 
     # Pre-attention layer norm over [rc; utt] (position-wise).
     ln_rc = _layer_norm(rc, p["ln_in_scale"], p["ln_in_bias"])
@@ -402,7 +411,8 @@ def emformer_stream_step(
             activation=cfg.activation,
             cdt_name=jnp.dtype(cfg.compute_dtype).name,
             tile=cfg.pallas_stack_tile,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            quant=cfg.quant == "int8")
         new_length = length + jnp.int32(U)
         if advance is not None:
             new_length = jnp.where(advance, new_length, length)

@@ -40,12 +40,33 @@ def _ln(x, scale, bias, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _quantize_weight(w, axis=-2):
+    """Per-output-channel symmetric int8: w ~= w8 * scale.
+    axis: the CONTRACTION axis (reduced by the matmul)."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis,
+                   keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    w8 = jnp.round(w.astype(jnp.float32) / scale).astype(jnp.int8)
+    return w8, scale
+
+
+def _qdot(x2d, w8, wscale):
+    """W8A8 matmul: dynamic per-row symmetric activation quant, int8 MXU
+    dot (int32 accumulate — exact), f32 dequant.  x2d [rows, K] f32,
+    w8 [K, N] int8, wscale [1, N] f32 -> [rows, N] f32."""
+    amax = jnp.max(jnp.abs(x2d), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    xq = jnp.round(x2d * (1.0 / s)).astype(jnp.int8)
+    acc = jnp.dot(xq, w8, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * s * wscale
+
+
 def _layer_math(
     utt, rc, mem_row, mem_state_in, lc_k_in, lc_v_in,
     length, reset2, advance2, w,
     *, U: int, R: int, M: int, Lc: int, H: int, use_mem: bool,
     tanh_on_mem: bool, neg_inf: float, activation: str, cdt,
-    state_dtype,
+    state_dtype, quant: bool = False,
 ):
     """One Emformer layer step on VMEM-resident arrays.
 
@@ -79,9 +100,20 @@ def _layer_math(
     else:
         q_in = jnp.concatenate([ln_rc, ln_utt], axis=1)
 
-    # ---- projections (2D dots on the MXU; rows = TB * tokens)
-    q = (jnp.dot(q_in.reshape(TB * Q, D).astype(cdt), w["wq"],
-                 preferred_element_type=jnp.float32).astype(cdt)
+    # ---- projections (2D dots on the MXU; rows = TB * tokens).
+    # quant=True routes the five big matmuls through W8A8: per-output-
+    # channel int8 weights (pre-quantized by the caller) x per-row
+    # dynamically quantized int8 activations, int32 MXU accumulate
+    # (2x bf16 peak on v5e), f32 dequant.  LN/softmax/attention-core/
+    # state math keep the bf16/f32 pipeline unchanged.
+    def _mm(x2d, name):
+        if quant:
+            return _qdot(x2d.astype(jnp.float32), w[name],
+                         w[name + "_s"]).astype(cdt)
+        return jnp.dot(x2d.astype(cdt), w[name],
+                       preferred_element_type=jnp.float32).astype(cdt)
+
+    q = (_mm(q_in.reshape(TB * Q, D), "wq")
          + w["bq"].astype(cdt)).reshape(TB, Q, D)
 
     mem_state = jnp.where(reset3, 0, mem_state_in)
@@ -93,8 +125,7 @@ def _layer_math(
         kv_in = jnp.concatenate(
             [ln_rc.astype(cdt), ln_utt.astype(cdt)], axis=1)
     n_kv = M + R + U
-    kv = (jnp.dot(kv_in.reshape(TB * n_kv, D), w["wkv"],
-                  preferred_element_type=jnp.float32).astype(cdt)
+    kv = (_mm(kv_in.reshape(TB * n_kv, D), "wkv")
           + w["bkv"].astype(cdt)).reshape(TB, n_kv, 2 * D)
     k_part = kv[:, :, :D]
     v_part = kv[:, :, D:]
@@ -141,8 +172,7 @@ def _layer_math(
             preferred_element_type=jnp.float32))
     attn = jnp.concatenate(heads, axis=2).astype(cdt)
 
-    out = (jnp.dot(attn.reshape(TB * Q, D), w["wout"],
-                   preferred_element_type=jnp.float32).astype(cdt)
+    out = (_mm(attn.reshape(TB * Q, D), "wout")
            + w["bout"].astype(cdt)).reshape(TB, Q, D)
 
     rc_utt_out = out[:, :R + U].astype(jnp.float32)
@@ -161,11 +191,8 @@ def _layer_math(
     act = {"relu": jax.nn.relu, "gelu": jax.nn.gelu,
            "silu": jax.nn.silu}[activation]
     T = R + U
-    h1 = act(jnp.dot(ff.reshape(TB * T, D).astype(cdt), w["ffw1"],
-                     preferred_element_type=jnp.float32).astype(cdt)
-             + w["ffb1"].astype(cdt))
-    h2 = (jnp.dot(h1, w["ffw2"],
-                  preferred_element_type=jnp.float32).astype(cdt)
+    h1 = act(_mm(ff.reshape(TB * T, D), "ffw1") + w["ffb1"].astype(cdt))
+    h2 = (_mm(h1, "ffw2")
           + w["ffb2"].astype(cdt)).reshape(TB, T, D)
     result = _ln(residual + h2.astype(jnp.float32),
                  w["lnout_s"].astype(jnp.float32),
@@ -198,23 +225,21 @@ def _layer_kernel(
     # per-tile tensors
     utt_ref, rc_ref, mem_row_ref, mem_state_ref, lc_k_ref, lc_v_ref,
     len_ref, reset_ref, advance_ref,
-    # layer weights (full arrays, fetched once)
-    wq_ref, bq_ref, wkv_ref, bkv_ref, wout_ref, bout_ref,
-    lnin_s_ref, lnin_b_ref, ffln_s_ref, ffln_b_ref,
-    ffw1_ref, ffb1_ref, ffw2_ref, ffb2_ref, lnout_s_ref, lnout_b_ref,
-    # outputs
-    out_utt_ref, out_rc_ref, out_mem_row_ref, out_mem_state_ref,
-    out_lc_k_ref, out_lc_v_ref,
-    *, U: int, R: int, M: int, Lc: int, H: int, use_mem: bool,
+    # layer weights (full arrays, fetched once); in quant mode five
+    # per-channel scale arrays follow, then the six outputs
+    *rest,
+    U: int, R: int, M: int, Lc: int, H: int, use_mem: bool,
     tanh_on_mem: bool, neg_inf: float, activation: str, cdt,
+    quant: bool = False,
 ):
-    w = {"wq": wq_ref[...], "bq": bq_ref[...], "wkv": wkv_ref[...],
-         "bkv": bkv_ref[...], "wout": wout_ref[...], "bout": bout_ref[...],
-         "lnin_s": lnin_s_ref[...], "lnin_b": lnin_b_ref[...],
-         "ffln_s": ffln_s_ref[...], "ffln_b": ffln_b_ref[...],
-         "ffw1": ffw1_ref[...], "ffb1": ffb1_ref[...],
-         "ffw2": ffw2_ref[...], "ffb2": ffb2_ref[...],
-         "lnout_s": lnout_s_ref[...], "lnout_b": lnout_b_ref[...]}
+    n_w = len(_WNAMES) + (5 if quant else 0)
+    w_refs = rest[:n_w]
+    (out_utt_ref, out_rc_ref, out_mem_row_ref, out_mem_state_ref,
+     out_lc_k_ref, out_lc_v_ref) = rest[n_w:]
+    w = {name: ref[...] for name, ref in zip(_WNAMES, w_refs)}
+    if quant:
+        for name, ref in zip(_QNAMES, w_refs[len(_WNAMES):]):
+            w[name] = ref[...]
     (new_utt, new_rc, new_mem_row, new_mem_state, new_lc_k,
      new_lc_v) = _layer_math(
         utt_ref[...].astype(jnp.float32), rc_ref[...].astype(jnp.float32),
@@ -223,7 +248,7 @@ def _layer_kernel(
         len_ref[...], reset_ref[...], advance_ref[...], w,
         U=U, R=R, M=M, Lc=Lc, H=H, use_mem=use_mem,
         tanh_on_mem=tanh_on_mem, neg_inf=neg_inf, activation=activation,
-        cdt=cdt, state_dtype=out_lc_k_ref.dtype)
+        cdt=cdt, state_dtype=out_lc_k_ref.dtype, quant=quant)
     out_utt_ref[...] = new_utt
     out_rc_ref[...] = new_rc
     if use_mem:
@@ -236,7 +261,7 @@ def _layer_kernel(
 @functools.partial(
     jax.jit, static_argnames=("U", "R", "M", "Lc", "H", "use_mem",
                               "tanh_on_mem", "neg_inf", "activation",
-                              "cdt_name", "tile", "interpret"))
+                              "cdt_name", "tile", "interpret", "quant"))
 def fused_emformer_layer(p: dict, utt: jax.Array, rc: jax.Array,
                          mem_row, mem_state: jax.Array,
                          lc_k: jax.Array, lc_v: jax.Array,
@@ -245,8 +270,8 @@ def fused_emformer_layer(p: dict, utt: jax.Array, rc: jax.Array,
                          U: int, R: int, M: int, Lc: int, H: int,
                          use_mem: bool, tanh_on_mem: bool, neg_inf: float,
                          activation: str, cdt_name: str = "bfloat16",
-                         tile: int = 64, interpret: bool = False
-                         ) -> Tuple:
+                         tile: int = 64, interpret: bool = False,
+                         quant: bool = False) -> Tuple:
     """One fused Emformer layer step (signature mirrors _layer_step).
 
     p: this layer's parameter dict (unstacked, [D,...] shapes).
@@ -296,20 +321,26 @@ def fused_emformer_layer(p: dict, utt: jax.Array, rc: jax.Array,
         w = w.astype(jnp.float32)
         return w[None] if w.ndim == 1 else w
 
+    def big(w):
+        return _quantize_weight(w, axis=-2)[0] if quant else cast(w)
+
     weights = [
-        cast(p["w_q"]), cast(p["b_q"]), cast(p["w_kv"]), cast(p["b_kv"]),
-        cast(p["w_out"]), cast(p["b_out"]),
+        big(p["w_q"]), cast(p["b_q"]), big(p["w_kv"]), cast(p["b_kv"]),
+        big(p["w_out"]), cast(p["b_out"]),
         f32(p["ln_in_scale"]), f32(p["ln_in_bias"]),
         f32(p["ff_ln_scale"]), f32(p["ff_ln_bias"]),
-        cast(p["ff_w1"]), cast(p["ff_b1"]), cast(p["ff_w2"]),
+        big(p["ff_w1"]), cast(p["ff_b1"]), big(p["ff_w2"]),
         cast(p["ff_b2"]),
         f32(p["ln_out_scale"]), f32(p["ln_out_bias"]),
     ]
+    if quant:
+        weights += [_quantize_weight(p[n], axis=-2)[1]
+                    for n in ("w_q", "w_kv", "w_out", "ff_w1", "ff_w2")]
 
     kernel = functools.partial(
         _layer_kernel, U=U, R=R, M=M, Lc=Lc, H=H, use_mem=use_mem,
         tanh_on_mem=tanh_on_mem, neg_inf=neg_inf, activation=activation,
-        cdt=cdt)
+        cdt=cdt, quant=quant)
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, U, D), jnp.float32),        # utt
@@ -373,22 +404,27 @@ def fused_emformer_layer(p: dict, utt: jax.Array, rc: jax.Array,
 _WNAMES = ("wq", "bq", "wkv", "bkv", "wout", "bout", "lnin_s", "lnin_b",
            "ffln_s", "ffln_b", "ffw1", "ffb1", "ffw2", "ffb2",
            "lnout_s", "lnout_b")
+# per-channel scale entries appended in quant (W8A8) mode, in this order
+_QNAMES = ("wq_s", "wkv_s", "wout_s", "ffw1_s", "ffw2_s")
+# the matmul weights replaced by int8 tensors in quant mode
+_QUANTIZED = ("wq", "wkv", "wout", "ffw1", "ffw2")
 
 
 def _stack_kernel(
     x_ref, len_ref, reset_ref, advance_ref,
     mem_ref, lc_k_ref, lc_v_ref,
-    # stacked weights, one layer's block per grid step
-    wq_ref, bq_ref, wkv_ref, bkv_ref, wout_ref, bout_ref,
-    lnin_s_ref, lnin_b_ref, ffln_s_ref, ffln_b_ref,
-    ffw1_ref, ffb1_ref, ffw2_ref, ffb2_ref, lnout_s_ref, lnout_b_ref,
-    # outputs
-    y_ref, out_mem_ref, out_lc_k_ref, out_lc_v_ref,
-    # scratch: full-batch inter-layer activations
-    utt_s, rc_s, memrow_s,
-    *, U: int, R: int, M: int, Lc: int, H: int, TB: int, use_mem: bool,
+    # stacked weights (one layer's block per grid step), then — in quant
+    # mode — five per-channel scale blocks, then outputs and scratch
+    *rest,
+    U: int, R: int, M: int, Lc: int, H: int, TB: int, use_mem: bool,
     tanh_on_mem: bool, neg_inf: float, activation: str, cdt,
+    quant: bool = False,
 ):
+    n_w = len(_WNAMES) + (5 if quant else 0)
+    w_refs = rest[:n_w]
+    (y_ref, out_mem_ref, out_lc_k_ref, out_lc_v_ref,
+     utt_s, rc_s, memrow_s) = rest[n_w:]
+
     l = pl.program_id(0)
     i = pl.program_id(1)
     ts = pl.ds(pl.multiple_of(i * TB, TB), TB)
@@ -405,13 +441,10 @@ def _stack_kernel(
 
     # every stacked weight block has a leading layer dim of 1; vectors
     # arrive as [1, 1, N] blocks -> [1, N] (the helper's convention)
-    w = {"wq": wq_ref[0], "bq": bq_ref[0], "wkv": wkv_ref[0],
-         "bkv": bkv_ref[0], "wout": wout_ref[0], "bout": bout_ref[0],
-         "lnin_s": lnin_s_ref[0], "lnin_b": lnin_b_ref[0],
-         "ffln_s": ffln_s_ref[0], "ffln_b": ffln_b_ref[0],
-         "ffw1": ffw1_ref[0], "ffb1": ffb1_ref[0],
-         "ffw2": ffw2_ref[0], "ffb2": ffb2_ref[0],
-         "lnout_s": lnout_s_ref[0], "lnout_b": lnout_b_ref[0]}
+    w = {name: ref[0] for name, ref in zip(_WNAMES, w_refs)}
+    if quant:
+        for name, ref in zip(_QNAMES, w_refs[len(_WNAMES):]):
+            w[name] = ref[0]
 
     (new_utt, new_rc, new_mem_row, new_mem_state, new_lc_k,
      new_lc_v) = _layer_math(
@@ -420,7 +453,7 @@ def _stack_kernel(
         len_ref[...], reset_ref[...], advance_ref[...], w,
         U=U, R=R, M=M, Lc=Lc, H=H, use_mem=use_mem,
         tanh_on_mem=tanh_on_mem, neg_inf=neg_inf, activation=activation,
-        cdt=cdt, state_dtype=out_lc_k_ref.dtype)
+        cdt=cdt, state_dtype=out_lc_k_ref.dtype, quant=quant)
 
     utt_s[ts] = new_utt
     rc_s[ts] = new_rc
@@ -436,14 +469,15 @@ def _stack_kernel(
 @functools.partial(
     jax.jit, static_argnames=("U", "R", "M", "Lc", "H", "use_mem",
                               "tanh_on_mem", "neg_inf", "activation",
-                              "cdt_name", "tile", "interpret"))
+                              "cdt_name", "tile", "interpret", "quant"))
 def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
                          lc_k: jax.Array, lc_v: jax.Array,
                          length: jax.Array, reset=None, advance=None, *,
                          U: int, R: int, M: int, Lc: int, H: int,
                          use_mem: bool, tanh_on_mem: bool, neg_inf: float,
                          activation: str, cdt_name: str = "bfloat16",
-                         tile: int = 64, interpret: bool = False):
+                         tile: int = 64, interpret: bool = False,
+                         quant: bool = False):
     """All-layer streaming Emformer step as one Pallas kernel.
 
     params: stacked layer params ([L, ...] leaves, as init_emformer_params
@@ -451,6 +485,18 @@ def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
     mem [L,B,M,D] / lc_k / lc_v [L,B,Lc,D] carried state; length [B] i32
     RESET-EFFECTIVE frame counters; reset/advance optional [B] bool slot
     lifecycle masks.  Returns (y [B,U,D] f32, new_mem, new_lc_k, new_lc_v).
+
+    quant=True: W8A8 — the five projection/FFN weight stacks are
+    quantized to per-output-channel int8 (re-derived from the f32 params
+    inside this jit, which keeps the params pytree, checkpoints, and
+    converters dtype-unchanged) and the matmuls run on the int8 MXU path
+    (2x bf16 peak); activations are per-row dynamically quantized
+    in-kernel.  MEASURED NEUTRAL at the production geometry (D=512,
+    v5e @512 slots: 13.6 ms int8 vs 12.7 ms bf16) — this kernel is
+    VPU/sequencing-bound, not MXU-bound, so the dynamic-quant VPU work
+    costs more than the faster matmuls save.  Kept as an opt-in because
+    the trade flips at larger d_model/ffn_dim where the MXU share
+    dominates.  bf16 stays the default and the oracle.
     """
     L = params["w_q"].shape[0]
     B = x.shape[0]
@@ -480,14 +526,26 @@ def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
     def f32(name):
         return _shape(params[name].astype(jnp.float32))
 
+    def q8(name):
+        w8, _ = _quantize_weight(params[name], axis=-2)
+        return w8
+
+    def qs(name):
+        _, s = _quantize_weight(params[name], axis=-2)
+        return s                                     # [L, 1, N] f32
+
+    big = q8 if quant else cast
     weights = [
-        cast("w_q"), cast("b_q"), cast("w_kv"), cast("b_kv"),
-        cast("w_out"), cast("b_out"),
+        big("w_q"), cast("b_q"), big("w_kv"), cast("b_kv"),
+        big("w_out"), cast("b_out"),
         f32("ln_in_scale"), f32("ln_in_bias"),
         f32("ff_ln_scale"), f32("ff_ln_bias"),
-        cast("ff_w1"), cast("ff_b1"), cast("ff_w2"), cast("ff_b2"),
+        big("ff_w1"), cast("ff_b1"), big("ff_w2"), cast("ff_b2"),
         f32("ln_out_scale"), f32("ln_out_bias"),
     ]
+    if quant:
+        weights += [qs("w_q"), qs("w_kv"), qs("w_out"),
+                    qs("ff_w1"), qs("ff_w2")]
 
     def weight_spec(shape):
         # one layer's block: [1, ...], indexed by the layer grid dim
@@ -525,7 +583,7 @@ def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
     kernel = functools.partial(
         _stack_kernel, U=U, R=R, M=M, Lc=Lc, H=H, TB=TB, use_mem=use_mem,
         tanh_on_mem=tanh_on_mem, neg_inf=neg_inf, activation=activation,
-        cdt=cdt)
+        cdt=cdt, quant=quant)
 
     outs = pl.pallas_call(
         kernel,

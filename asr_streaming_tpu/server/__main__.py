@@ -72,7 +72,8 @@ def build_server(settings, max_slots=None):
         from asr_streaming_tpu.models.emformer import EmformerConfig
         rnnt_cfg = RNNTConfig(emformer=dataclasses.replace(
             RNNTConfig().emformer, compute_dtype=dtype,
-            use_pallas_stack=use_pallas))
+            use_pallas_stack=use_pallas,
+            quant=settings.quant if use_pallas else "none"))
         asr_cfg = dataclasses.replace(ASRConfig.vietnamese(dtype),
                                       audio=settings.audio)
         cfg = ServingConfig(asr=asr_cfg, model_kind="rnnt", rnnt=rnnt_cfg,
@@ -83,7 +84,8 @@ def build_server(settings, max_slots=None):
         asr_cfg = dataclasses.replace(
             ASRConfig.vietnamese(compute_dtype=dtype),
             audio=settings.audio)
-        asr_cfg = with_pallas_layer(asr_cfg, enable=use_pallas)
+        asr_cfg = with_pallas_layer(asr_cfg, enable=use_pallas,
+                                    quant=settings.quant)
         if vocab is not None:
             # the CTC head is sized by the served vocab (the reference sizes
             # it from checkpoint hparams; the shipped vocab.txt parses to 804

@@ -53,6 +53,11 @@ class ServerSettings:
         default_factory=lambda: VI_DEFAULT_RULES)
     use_silero: bool = True
     upload_encoding: str = "mulaw"   # "int16" | "mulaw" (halved tick bytes)
+    quant: str = "none"              # "int8": W8A8 projections/FFN inside
+                                     # the Pallas Emformer kernels (~1e-2
+                                     # relative output error; measured
+                                     # neutral at D=512 — opt-in, pays off
+                                     # at larger d_model)
     scheduler_groups: int = 1        # slot groups ticked round-robin;
                                      # raise on low-RTT (local PCIe) hosts
                                      # for lower per-chunk latency
@@ -90,7 +95,8 @@ class ServerSettings:
                     "lexicon_path", "lm_path", "lm_endpointing_path",
                     "vad_weights", "doc_root", "certificate", "speaker_wav",
                     "speaker_weights",
-                    "use_silero", "upload_encoding", "en_beam_partials",
+                    "use_silero", "upload_encoding", "quant",
+                    "en_beam_partials",
                     "en_beam_width", "scheduler_groups", "data_parallel",
                     "device_worker",
                     "lm_weight", "beam_size", "beam_size_token",

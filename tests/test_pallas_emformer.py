@@ -132,3 +132,38 @@ def test_fused_layer_lifecycle_masks(mode):
                                        err_msg=f"{name} step {step}")
         np.testing.assert_array_equal(np.asarray(st_ker.length),
                                       np.asarray(st_ref.length))
+
+
+@pytest.mark.parametrize("base", [VI_CFG, EN_CFG], ids=["vi_mem", "en_nomem"])
+def test_int8_quant_close_to_oracle(base):
+    """quant="int8" (W8A8 projections/FFN): per-channel weight + per-row
+    activation quantization keeps the encoder output within quantization
+    tolerance of the f32 oracle across steps (error compounds through
+    layers and carried state, so the bound is statistical, not bitwise)."""
+    ys_ref, _ = _run_steps(base)
+    fused = dataclasses.replace(_fused(base, "stack", 2), quant="int8")
+    ys_q, _ = _run_steps(fused)
+    scale = np.abs(ys_ref).max()
+    assert np.abs(ys_q - ys_ref).max() / scale < 0.08
+    corr = np.corrcoef(ys_q.ravel(), ys_ref.ravel())[0, 1]
+    assert corr > 0.995, corr
+
+
+def test_int8_layer_matches_int8_stack_bitexact():
+    """Both Pallas paths share _layer_math, so int8 mode must agree
+    BIT-exactly between the per-layer kernel and the megakernel."""
+    cfgL = dataclasses.replace(_fused(VI_CFG, "layer", 2), quant="int8")
+    cfgS = dataclasses.replace(_fused(VI_CFG, "stack", 2), quant="int8")
+    ysL, stL = _run_steps(cfgL)
+    ysS, stS = _run_steps(cfgS)
+    np.testing.assert_array_equal(ysS, ysL)
+    np.testing.assert_array_equal(stS.lc_k, stL.lc_k)
+    np.testing.assert_array_equal(stS.mem, stL.mem)
+
+
+def test_int8_ignored_on_xla_path():
+    """The XLA oracle path does not quantize: quant="int8" without a
+    Pallas mode is a no-op (documented contract)."""
+    ys_ref, _ = _run_steps(VI_CFG)
+    ys_q, _ = _run_steps(dataclasses.replace(VI_CFG, quant="int8"))
+    np.testing.assert_array_equal(ys_q, ys_ref)
