@@ -37,7 +37,18 @@ def join_tokens(tokens: Sequence[str]) -> str:
 
 
 class StreamingGreedyDecoder:
-    """Per-stream incremental greedy CTC state."""
+    """Per-stream incremental greedy CTC state.
+
+    Text assembly is ALSO incremental: re-joining + regex-cleaning the
+    whole collapsed sequence per chunk is O(utterance) per chunk
+    (measured 25 us/stream at long utterances — 13 ms of every 512-slot
+    scatter).  The cleanup's only multi-char patterns are ``<<``/``>>``,
+    which can span a token boundary only when some piece keeps a
+    residual ``<``/``>`` after removing whole pairs; the production
+    vocab has none (checked at init), so each piece's cleanup is
+    precomputed once and the transcript grows by O(new tokens) per
+    chunk.  Vocabs that fail the check fall back to the full re-join.
+    """
 
     def __init__(self, vocab: Sequence[str], blank: int = BLANK_ID,
                  silence: int = SILENCE_ID,
@@ -46,6 +57,15 @@ class StreamingGreedyDecoder:
         self.blank = blank
         self.silence = silence
         self.frame_seconds = frame_seconds
+        # per-piece cleaned text (internal whitespace pre-collapsed)
+        self._clean = []
+        self._local_safe = True
+        for p in self.vocab:
+            c = p.replace("<<", "").replace(">>", "")
+            if "<" in c or ">" in c or re.search(r"\s", p):
+                self._local_safe = False
+            c = c.replace("-", "").replace("|", " ")
+            self._clean.append(re.sub(r"\s+", " ", c))
         self.reset()
 
     def reset(self) -> None:
@@ -53,6 +73,23 @@ class StreamingGreedyDecoder:
         self._prev_raw = -1              # last raw argmax (for collapse)
         self.num_frames = 0
         self._last_token_frame = -1      # last frame with id > silence
+        self._text = ""                  # incremental cleaned transcript
+        self._pending_space = False      # trailing space owed to _text
+
+    def _append_text(self, token_id: int) -> None:
+        q = self._clean[token_id]
+        if not q:                        # cleans to nothing ('-', '<<'...)
+            return
+        core = q.strip(" ")
+        if not core:                     # all-space piece ('|')
+            if self._text:
+                self._pending_space = True
+            return
+        if self._text and (self._pending_space or q.startswith(" ")):
+            self._text += " " + core
+        else:
+            self._text += core
+        self._pending_space = q.endswith(" ")
 
     def update(self, indices: np.ndarray) -> Tuple[str, float]:
         """Consume one chunk of argmax indices; return (text, last_blank)
@@ -63,12 +100,16 @@ class StreamingGreedyDecoder:
                 self._last_token_frame = self.num_frames
             if idx != self._prev_raw and idx != self.blank:
                 self.collapsed.append(idx)
+                if self._local_safe:
+                    self._append_text(idx)
             self._prev_raw = idx
             self.num_frames += 1
         return self.text, self.last_blank
 
     @property
     def text(self) -> str:
+        if self._local_safe:
+            return self._text
         return join_tokens([self.vocab[i] for i in self.collapsed])
 
     @property

@@ -84,3 +84,48 @@ def test_asr_step_and_offline_agree():
     np.testing.assert_allclose(offline, streaming, rtol=2e-5, atol=2e-5)
     # emission cadence: 16 frames per 0.64 s chunk
     assert streaming.shape[0] == len(chunks) * 16
+
+
+def test_incremental_text_cache_matches_join_real_vocab():
+    """The O(new-tokens) text cache == full join_tokens re-join over long
+    random sequences on the PRODUCTION vocab (local-cleanup-safe path)."""
+    from asr_streaming_tpu.text.corpus import load_corpus
+    vocab, _ = load_corpus()
+    if vocab is None:
+        vocab = VOCAB
+    rng = np.random.default_rng(7)
+    dec = StreamingGreedyDecoder(vocab)
+    assert dec._local_safe
+    for _ in range(40):
+        chunk = rng.integers(0, len(vocab), size=16)
+        # bias toward blanks/silence like real emissions
+        chunk[rng.random(16) < 0.6] = 0
+        chunk[rng.random(16) < 0.2] = 1
+        text, _ = dec.update(chunk)
+        assert text == join_tokens([vocab[i] for i in dec.collapsed])
+
+
+def test_incremental_text_cache_unsafe_vocab_falls_back():
+    """Pieces with residual '<'/'>' can form '<<' across boundaries; the
+    decoder must detect that and fall back to the exact full re-join."""
+    vocab = ["-", "|", "a<", "<b", "c"]
+    dec = StreamingGreedyDecoder(vocab)
+    assert not dec._local_safe
+    text, _ = dec.update(np.array([2, 3, 4]))
+    # "a<" + "<b" + "c" -> "a<<bc" -> remove "<<" -> "abc"
+    assert text == "abc"
+    assert text == join_tokens([vocab[i] for i in dec.collapsed])
+
+
+def test_incremental_text_cache_silence_edges():
+    """Leading/trailing/multiple silences collapse exactly like the
+    reference's strip + whitespace regex."""
+    vocab = ["-", "|", "xy", "z|w"]
+    dec = StreamingGreedyDecoder(vocab)
+    seqs = [[1, 1, 2], [1, 1], [3], [1, 2, 1]]
+    for s in seqs:
+        dec.update(np.array(s))
+        assert dec.text == join_tokens([vocab[i] for i in dec.collapsed])
+    dec2 = StreamingGreedyDecoder(vocab)
+    dec2.update(np.array([1, 1, 1]))
+    assert dec2.text == ""
