@@ -319,6 +319,22 @@ class Scheduler:
         return bool(self._pending) or \
             any(s.has_chunk() for s in self.streams.values())
 
+    def harvest_ready(self) -> bool:
+        """True when the OLDEST in-flight batch's result is already
+        host-side — a tick now surfaces its events without blocking
+        (used by GroupedScheduler to prioritize event delivery)."""
+        if not self._pending:
+            return False
+        out_prev, _, _, fut = self._pending[0]
+        if fut is not None:
+            return fut.done()
+        if out_prev is not None:
+            try:
+                return bool(out_prev.pack.is_ready())
+            except Exception:
+                return False
+        return False
+
     def tick(self) -> List[StreamEvent]:
         """One pipelined scheduler cycle.
 
@@ -682,11 +698,23 @@ class GroupedScheduler:
         return any(g.has_work() for g in self.groups)
 
     def tick(self) -> List[StreamEvent]:
-        """Tick ONE group — the next (round-robin) group that actually
-        has work (ready chunks or an in-flight batch to harvest).  Under
-        real-time load the tick loop is not saturated, so demand-driven
-        selection is what bounds a chunk's wait to ~one group-tick."""
+        """Tick ONE group.  Selection order:
+
+        1. a group whose in-flight harvest has ALREADY resolved — its
+           events are sitting host-side and surface this tick instead of
+           waiting behind other groups' gather phases (worth up to one
+           group-tick of per-chunk latency; no starvation risk because
+           servicing it also runs its gather+dispatch);
+        2. otherwise the next round-robin group with work (ready chunks
+           or an in-flight batch), which bounds a chunk's wait to ~one
+           group-tick under real-time load.
+        """
         n = len(self.groups)
+        for k in range(n):
+            g = self.groups[(self._next + k) % n]
+            if g.harvest_ready():
+                self._next = (self._next + k + 1) % n
+                return g.tick()
         for k in range(n):
             g = self.groups[(self._next + k) % n]
             if g.has_work():

@@ -155,6 +155,17 @@ def main():
 
     rtt_before = link_rtt_ms()
 
+    def wait_link_recovery(budget_s: float = 90.0,
+                           good_ms: float = 150.0) -> None:
+        """Sustained saturation can collapse the tunnel (a window drops
+        3882 -> 239 streams); it recovers after idling.  Probe until the
+        tiny-dispatch RTT looks healthy or the budget is spent."""
+        deadline = time.monotonic() + budget_s
+        while time.monotonic() < deadline:
+            if link_rtt_ms(n=2) < good_ms:
+                return
+            time.sleep(5.0)
+
     # ---------------- phase A: saturated throughput
     # streams may be serviced on alternating ticks (chunks of one stream
     # serialize through the pipeline), so throughput is measured by the
@@ -193,7 +204,7 @@ def main():
     for k in range(PASSES_A):
         passes_a.append(throughput_window())
         if k + 1 < PASSES_A:
-            time.sleep(2.0)     # let the tunnel's queues/backpressure drain
+            wait_link_recovery()
     sched.drain()
     streams_rtf1, round_seconds = max(passes_a)
 
@@ -201,6 +212,16 @@ def main():
     chunk = (rng.standard_normal(chunk_samples) * 0.25).astype(np.float32)
 
     def paced_window():
+        # fresh streams per window (like real connection churn): a new
+        # slot starts with zeroed device context/state, so the VAD
+        # verdict on the first chunk matches production admission.
+        # (With random VAD weights + identical noise chunks, a stream
+        # stuck in steady-state silence never re-enters decode — a bench
+        # artifact, not a serving behavior.)
+        nonlocal streams
+        for s in streams:
+            sched.release(s)
+        streams = [sched.admit(f"bench{i}") for i in range(SLOTS)]
         n_rounds = int(SECONDS_B / TICK_SECONDS)
         start = time.perf_counter() + 0.05
         arrivals = sorted(
@@ -209,6 +230,7 @@ def main():
         ready: list = [deque() for _ in range(SLOTS)]
         latencies = []
         ai = 0
+        n_events = ticks = 0
         deadline = start + SECONDS_B + 3.0
         while (ai < len(arrivals) or sched.has_work()) and \
                 time.perf_counter() < deadline:
@@ -220,6 +242,8 @@ def main():
                 ready[i].append(t_ready)
             if sched.has_work():
                 events = sched.tick()
+                ticks += 1
+                n_events += len(events)
                 t_ev = time.perf_counter()
                 for e in events:
                     idx = int(e.stream_id[5:])
@@ -231,18 +255,25 @@ def main():
                else np.asarray([0.0]))
         return (round(float(np.percentile(lat, 50)), 2),
                 round(float(np.percentile(lat, 95)), 2),
-                len(latencies))
+                len(latencies), n_events, ticks)
 
+    wait_link_recovery()
     passes_b = []
     for k in range(PASSES_B):
         passes_b.append(paced_window())
+        sched.drain(max_ticks=200)      # flush any deadline-cut backlog
         if k + 1 < PASSES_B:
-            sched.drain(max_ticks=200)  # flush any deadline-cut backlog
-            time.sleep(2.0)
-    # best window among those that actually paired events (a harvest
-    # blocking past the deadline on a degraded link yields an empty one)
+            wait_link_recovery()
+    # one retry if a window produced nothing (harvest blocked past the
+    # deadline on a collapsed link)
+    if not any(p[2] > 0 for p in passes_b):
+        wait_link_recovery()
+        passes_b.append(paced_window())
+        sched.drain(max_ticks=200)
+    # best window among those that actually paired events
     valid_b = [p for p in passes_b if p[2] > 0]
-    p50_ms, p95_ms, n_lat = min(valid_b) if valid_b else (0.0, 0.0, 0)
+    p50_ms, p95_ms, n_lat = (min(valid_b)[:3] if valid_b
+                             else (0.0, 0.0, 0))
     rtt_after = link_rtt_ms()
 
     result = {
@@ -264,7 +295,8 @@ def main():
                 "throughput_streams": [p[0] for p in passes_a],
                 "throughput_round_ms": [round(p[1] * 1e3, 1)
                                         for p in passes_a],
-                "paced_p50_p95_ms": [[p[0], p[1]] for p in passes_b],
+                "paced_p50_p95_samples_events_ticks":
+                    [list(p) for p in passes_b],
                 "note": "headline = best window; the tunnel link swings "
                         "2.5x between identical runs (BASELINE.md)",
             },
