@@ -98,3 +98,40 @@ def test_is_pending_and_flush_surface():
     assert sched.max_slots == 4
     sched.drain()
     assert not sched.is_pending(s)
+
+
+def test_harvest_ready_group_served_first(monkeypatch):
+    """A group whose in-flight result already resolved is ticked before
+    round-robin order would reach it (events surface immediately)."""
+    sched = make(groups=2, max_slots=4)
+    g0, g1 = sched.groups
+    order = []
+    for g, name in ((g0, "g0"), (g1, "g1")):
+        monkeypatch.setattr(g, "tick",
+                            lambda g=g, name=name: order.append(name) or [])
+    # round-robin pointer at g0, but only g1 has a resolved harvest
+    sched._next = 0
+    monkeypatch.setattr(g0, "harvest_ready", lambda: False)
+    monkeypatch.setattr(g1, "harvest_ready", lambda: True)
+    monkeypatch.setattr(g0, "has_work", lambda: True)
+    monkeypatch.setattr(g1, "has_work", lambda: True)
+    sched.tick()
+    assert order == ["g1"]
+    # neither resolved -> falls back to round-robin demand-driven (g0)
+    monkeypatch.setattr(g1, "harvest_ready", lambda: False)
+    sched.tick()
+    assert order == ["g1", "g0"]
+
+
+def test_harvest_ready_probe_states():
+    """Scheduler.harvest_ready: empty pipeline -> False; resolved future
+    -> True; unresolved -> False."""
+    from concurrent.futures import Future
+    sched = make(cls=Scheduler, max_slots=4)
+    assert not sched.harvest_ready()
+    fut = Future()
+    sched._pending.append((None, [], 0.0, fut))
+    assert not sched.harvest_ready()
+    fut.set_result(np.zeros((4, 8), np.float32))
+    assert sched.harvest_ready()
+    sched._pending.clear()
