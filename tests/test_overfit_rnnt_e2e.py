@@ -90,7 +90,7 @@ def _serving_config() -> ServingConfig:
                          energy_threshold_db=-200.0)
 
 
-def _serve_events(rnnt_params: dict, sentence: str):
+def _serve_events(rnnt_params: dict, sentence: str, **sched_kw):
     """Run one stream through a fresh EN scheduler; return its events."""
     scfg = _serving_config()
     sparams = init_serving_params(jax.random.PRNGKey(1), scfg)
@@ -100,7 +100,7 @@ def _serve_events(rnnt_params: dict, sentence: str):
     # gaps, well below the ~1.5 s of silence after the sentence
     rules = {"trained": EndpointRule(True, 0.8, 0.0, float("inf"))}
     sched = Scheduler(sparams, scfg, PIECES, max_slots=2,
-                      language="en", rules=rules)
+                      language="en", rules=rules, **sched_kw)
     st = sched.admit("t0")
     st.accept_waveform(_sentence_audio(sentence, total=3.84))
     st.add_tail_padding()
@@ -185,6 +185,20 @@ def test_checkpoint_then_serve_exact_transcript(trained, tmp_path):
         assert nxt.startswith(prev), (prev, nxt)
     assert golden.startswith(nonempty[-1]) or nonempty[-1] == golden, \
         (golden, nonempty)
+
+
+def test_beam_partials_mode_serves_golden(trained):
+    """Opt-in carried-hypothesis beam partials (the reference's per-chunk
+    RNNTBeamSearch.infer pattern) must agree with the greedy path on an
+    overfit model: same exact final transcript for the golden sentence.
+    This is the only beam-partials test that runs with LEARNED weights —
+    the mode's other tests drive hypothesis plumbing with random params."""
+    params, _, golden = trained
+    events = _serve_events(params, golden,
+                           en_beam_partials=True, en_beam_width=4)
+    assert _finals(events) == [golden], \
+        (golden, _finals(events),
+         [e.text for e in events if not e.is_final])
 
 
 def test_trained_tokens_beat_random(trained):
