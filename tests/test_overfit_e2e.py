@@ -232,6 +232,39 @@ def test_checkpoint_then_serve_exact_transcript(trained, tmp_path):
         (golden, nonempty)
 
 
+def test_beam_decoders_recover_golden(trained, tmp_path):
+    """Lexicon-constrained beam search over the LEARNED log-probs: the
+    Python oracle and the native C++ decoder must both recover the golden
+    sentence as words through the real trie machinery.  (All other beam
+    tests use synthetic peaky/noisy emissions; this is the only one whose
+    emissions come from a trained model.)  The audio gets one trailing
+    separator hum so the final word ends with '|' like every vi lexicon
+    entry (reference corpus convention: word -> chars + '|')."""
+    from asr_streaming_tpu.decode.beam import LexiconBeamDecoder
+    from asr_streaming_tpu.decode.beam_native import (
+        NativeBeamDecoder, native_available,
+    )
+    cfg, params, _, golden = trained
+    words = sorted({w for s in TRAIN_SENTENCES for w in s.split(" ")})
+    lexicon = {w: list(w) + ["|"] for w in words}
+
+    audio = _sentence_audio(golden + " ")   # trailing hum closes last word
+    feats = log_mel(params["frontend"], cfg.mel, jnp.asarray(audio)[None])
+    log_probs, _ = encoder_forward(params["encoder"], cfg.encoder, feats)
+    lp = np.asarray(log_probs)[0]
+
+    res = LexiconBeamDecoder(VOCAB, lexicon).decode(lp)
+    assert res.transcript == golden, (golden, res.transcript)
+    assert res.words == golden.split(" ")
+
+    if native_available():
+        lex_path = tmp_path / "lexicon.txt"
+        lex_path.write_text("\n".join(
+            f"{w}\t{' '.join(t)}" for w, t in lexicon.items()))
+        got = NativeBeamDecoder(VOCAB, str(lex_path)).decode_full(lp)
+        assert got["transcript"] == golden, (golden, got["transcript"])
+
+
 def test_golden_survives_f16_emission_roundtrip(trained):
     """The serving path stores per-frame argmax through an f16-packed
     emission ring buffer (models/serving.py).  The golden sentence's
