@@ -265,6 +265,20 @@ def test_beam_decoders_recover_golden(trained, tmp_path):
         assert got["transcript"] == golden, (golden, got["transcript"])
 
 
+def test_asrmodel_api_transcribes_golden(trained, tmp_path):
+    """The user-facing ASRModel surface (checkpoint load -> offline
+    transcribe via the chunk scan, reference LightningASR
+    recognition.py:136-217) must reproduce the golden transcript from the
+    checkpoint file alone."""
+    from asr_streaming_tpu.models.api import ASRModel
+    cfg, params, _, golden = trained
+    path = str(tmp_path / "api_overfit.npz")
+    save_params(path, params)
+    model = ASRModel(cfg=cfg, checkpoint=path, vocab=VOCAB)
+    text = model.transcribe(_sentence_audio(golden))
+    assert text.strip() == golden, (golden, text)
+
+
 def test_golden_survives_f16_emission_roundtrip(trained):
     """The serving path stores per-frame argmax through an f16-packed
     emission ring buffer (models/serving.py).  The golden sentence's
