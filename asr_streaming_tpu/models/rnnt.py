@@ -132,6 +132,10 @@ def init_rnnt_params(key: jax.Array, cfg: RNNTConfig) -> dict:
 
 
 def init_rnnt_state(cfg: RNNTConfig, batch_size: int) -> RNNTStreamState:
+    """Fresh stream state.  ``predictor`` holds the LSTM state from
+    BEFORE consuming ``last_token`` (zeros before the BOS blank) — see
+    rnnt_greedy_stream_step for why the before-consume convention is the
+    one that survives chunk boundaries."""
     return RNNTStreamState(
         encoder=init_emformer_state(cfg.emformer, batch_size),
         predictor=PredictorState(
@@ -229,37 +233,56 @@ def rnnt_greedy_stream_step(params: dict, cfg: RNNTConfig, feats: jax.Array,
         active = jnp.ones((B,), bool)
 
     enc, enc_state = transcriber_step(params, cfg, feats, state.encoder)
-    # [B, U, D] -> scan over U frames
-    pred_out0, _ = predictor_step(params, state.last_token, state.predictor)
+    # Predictor-state convention: state.predictor is the LSTM state from
+    # BEFORE consuming state.last_token (zeros before the BOS blank), so
+    # re-consuming last_token here reproduces the exact predictor output
+    # the previous chunk's final emission saw — the joiner is conditioned
+    # on [..., last] exactly once (training's predictor_forward teacher
+    # forcing, and torchaudio's hypo carry which caches (state, out)).
+    # Storing the AFTER-consume state and re-consuming on the next chunk
+    # would condition on [..., last, last]: emissions then die after the
+    # first chunk that produced a token (regression-tested in
+    # tests/test_rnnt.py::test_greedy_cross_chunk_matches_oracle).
+    pred_out0, pred_next0 = predictor_step(params, state.last_token,
+                                           state.predictor)
 
     def frame_body(carry, enc_t):
-        pred_state, last_token, pred_out = carry
+        pred_next, pred_stored, last_token, pred_out = carry
         toks = jnp.full((B, K), cfg.blank, jnp.int32)
 
         def expand(k, inner):
-            pred_state, last_token, pred_out, toks, alive = inner
+            pred_next, pred_stored, last_token, pred_out, toks, alive = \
+                inner
             logits = joiner(params, enc_t, pred_out)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             emit = alive & (tok != cfg.blank) & active
             toks = toks.at[:, k].set(jnp.where(emit, tok, cfg.blank))
-            # advance predictor only for emitting streams
-            new_pred_out, new_state = predictor_step(
-                params, jnp.where(emit, tok, last_token), pred_state)
-            pred_state = PredictorState(
-                h=jnp.where(emit[None, :, None], new_state.h, pred_state.h),
-                c=jnp.where(emit[None, :, None], new_state.c, pred_state.c))
+            # consume the new token from the after-everything state;
+            # remember that state as the new "before-last" for emitters
+            new_pred_out, new_next = predictor_step(
+                params, jnp.where(emit, tok, last_token), pred_next)
+            pred_stored = PredictorState(
+                h=jnp.where(emit[None, :, None], pred_next.h,
+                            pred_stored.h),
+                c=jnp.where(emit[None, :, None], pred_next.c,
+                            pred_stored.c))
+            pred_next = PredictorState(
+                h=jnp.where(emit[None, :, None], new_next.h, pred_next.h),
+                c=jnp.where(emit[None, :, None], new_next.c, pred_next.c))
             pred_out = jnp.where(emit[:, None], new_pred_out, pred_out)
             last_token = jnp.where(emit, tok, last_token)
-            return pred_state, last_token, pred_out, toks, emit
+            return pred_next, pred_stored, last_token, pred_out, toks, emit
 
-        pred_state, last_token, pred_out, toks, _ = jax.lax.fori_loop(
-            0, K, expand,
-            (pred_state, last_token, pred_out, toks,
-             jnp.ones((B,), bool)))
-        return (pred_state, last_token, pred_out), toks
+        pred_next, pred_stored, last_token, pred_out, toks, _ = \
+            jax.lax.fori_loop(
+                0, K, expand,
+                (pred_next, pred_stored, last_token, pred_out, toks,
+                 jnp.ones((B,), bool)))
+        return (pred_next, pred_stored, last_token, pred_out), toks
 
-    (pred_state, last_token, _), toks = jax.lax.scan(
-        frame_body, (state.predictor, state.last_token, pred_out0),
+    (_, pred_state, last_token, _), toks = jax.lax.scan(
+        frame_body,
+        (pred_next0, state.predictor, state.last_token, pred_out0),
         enc.transpose(1, 0, 2))
 
     tokens = toks.transpose(1, 0, 2).reshape(B, -1)       # [B, U*K]

@@ -15,11 +15,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from asr_streaming_tpu.models.emformer import emformer_forward
+from asr_streaming_tpu.models.emformer import (
+    emformer_forward, init_emformer_state,
+)
 from asr_streaming_tpu.models.encoder import _time_reduction
 from asr_streaming_tpu.models.emformer import _layer_norm
 from asr_streaming_tpu.models.rnnt import (
-    PredictorState, RNNTConfig, joiner, predictor_step,
+    PredictorState, RNNTConfig, joiner, predictor_step, transcriber_step,
 )
 from asr_streaming_tpu.train.losses import rnnt_loss
 
@@ -43,6 +45,68 @@ def transcriber_forward(params: dict, cfg: RNNTConfig, feats: jax.Array
     return _layer_norm(enc @ p["w"] + p["b"], p["ln_scale"], p["ln_bias"])
 
 
+def streaming_features(mel_params: dict, mel_cfg, waves: jax.Array,
+                       segment_len: int, buffer_len: int, want: int
+                       ) -> jax.Array:
+    """Per-chunk features EXACTLY as the serving tick computes them.
+
+    serving_step_rnnt (models/serving.py:353-391) assembles each chunk's
+    wave as [carried buffer_len of context | segment_len new samples],
+    runs center=True mel PER CHUNK (parity with torchaudio's streaming
+    pipeline — the reference recomputes MelSpectrogram per chunk,
+    recognition.py:122-133), and trims to ``want`` frames.  Training on
+    features built the same way removes the chunk-edge skew between the
+    offline featurizer and serving (tests/test_en_frontend_chunks.py
+    documents the skew; it is confined to edge frames but a freshly
+    trained model should not have to be robust to it).
+
+    Args:
+      waves: [B, n_samples] float audio; n_samples must be a multiple of
+        segment_len (pad the tail like the serving flush does).
+    Returns:
+      [B, n_chunks, want, n_mels] — chunk axis ready for
+      ``transcriber_forward_streaming`` / ``transcriber_step``.
+    """
+    from asr_streaming_tpu.ops.frontend import log_mel
+
+    B, n = waves.shape
+    n_chunks = n // segment_len
+    segs = waves[:, :n_chunks * segment_len].reshape(B, n_chunks,
+                                                     segment_len)
+    # chunk i's context = tail of chunk i-1 (zeros for the first chunk:
+    # _assemble_wave zeroes ctx on new_stream)
+    ctx = jnp.concatenate(
+        [jnp.zeros((B, 1, buffer_len), waves.dtype),
+         segs[:, :-1, -buffer_len:]], axis=1)
+    wins = jnp.concatenate([ctx, segs], axis=2)   # [B, C, buf+seg]
+    feats = jax.vmap(lambda w: log_mel(mel_params, mel_cfg, w),
+                     in_axes=1, out_axes=1)(wins)  # [B, C, F, n_mels]
+    return feats[:, :, :want]
+
+
+def transcriber_forward_streaming(params: dict, cfg: RNNTConfig,
+                                  chunk_feats: jax.Array) -> jax.Array:
+    """Transcriber over per-chunk features via the SERVING encoder step
+    (transcriber_step scanned with carried EmformerState) — train==serve
+    by construction, including the per-chunk right-context geometry.
+
+    chunk_feats: [B, n_chunks, want, n_mels] from ``streaming_features``.
+    Returns [B, n_chunks * segment_length, encoding_dim].
+    """
+    B = chunk_feats.shape[0]
+    state0 = init_emformer_state(cfg.emformer, B)
+
+    def step(state, feats_c):
+        enc, state = transcriber_step(params, cfg, feats_c, state)
+        return state, enc
+
+    _, encs = jax.lax.scan(step, state0,
+                           chunk_feats.transpose(1, 0, 2, 3))
+    # [C, B, U, E] -> [B, C*U, E]
+    C, _, U, E = encs.shape
+    return encs.transpose(1, 0, 2, 3).reshape(B, C * U, E)
+
+
 def predictor_forward(params: dict, cfg: RNNTConfig, targets: jax.Array
                       ) -> jax.Array:
     """Predictor over blank-prepended targets -> [B, U+1, encoding_dim]."""
@@ -63,10 +127,18 @@ def predictor_forward(params: dict, cfg: RNNTConfig, targets: jax.Array
 
 def rnnt_loss_fn(params: dict, cfg: RNNTConfig, batch: RNNTBatch
                  ) -> jax.Array:
-    enc = transcriber_forward(params, cfg, batch.feats)    # [B, T, E]
-    pred = predictor_forward(params, cfg, batch.targets)   # [B, U+1, E]
+    """Joint loss.  batch.feats is either [B, T_mel, n_mels] (offline
+    featurizer) or [B, n_chunks, want, n_mels] (``streaming_features`` —
+    the serving featurizer; batch.feat_lens then counts VALID CHUNKS)."""
+    if batch.feats.ndim == 4:
+        enc = transcriber_forward_streaming(params, cfg, batch.feats)
+        t_lens = jnp.minimum(
+            batch.feat_lens * cfg.emformer.segment_length, enc.shape[1])
+    else:
+        enc = transcriber_forward(params, cfg, batch.feats)  # [B, T, E]
+        t_lens = jnp.minimum((batch.feat_lens - 1) // 4 + 1, enc.shape[1])
+    pred = predictor_forward(params, cfg, batch.targets)     # [B, U+1, E]
     logits = joiner(params, enc[:, :, None, :], pred[:, None, :, :])
-    t_lens = jnp.minimum((batch.feat_lens - 1) // 4 + 1, enc.shape[1])
     return rnnt_loss(logits, t_lens, batch.targets, batch.target_lens,
                      blank=cfg.blank)
 
@@ -116,6 +188,9 @@ def main(argv=None):
     parser.add_argument("--save-every", type=int, default=500)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--streaming-features", action="store_true",
+                        help="featurize with the serving tick's per-chunk "
+                        "mel (train == serve, no chunk-edge skew)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -150,9 +225,21 @@ def main(argv=None):
     optimizer = optax.adamw(args.lr, weight_decay=1e-4)
     opt_state = optimizer.init(params)
     step = jax.jit(make_rnnt_train_step(cfg, optimizer))
-    featurize = jax.jit(lambda w: log_mel(mel_params, mel, w))
+    if args.streaming_features:
+        # train on the SERVING featurizer (per-chunk center=True mel) —
+        # no chunk-edge skew between training and the serving tick
+        from asr_streaming_tpu.utils.audio import EN_AUDIO
+        want = (cfg.emformer.segment_length
+                + cfg.emformer.right_context_length) * 4
+        featurize = jax.jit(lambda w: streaming_features(
+            mel_params, mel, w, EN_AUDIO.segment_length,
+            EN_AUDIO.buffer_length, want))
+    else:
+        featurize = jax.jit(lambda w: log_mel(mel_params, mel, w))
 
     n_samples = int(args.seconds * 16000)
+    if args.streaming_features:
+        n_samples -= n_samples % EN_AUDIO.segment_length  # whole chunks
     rng = np.random.default_rng(args.seed)
     order = rng.permutation(len(entries))
     waves = np.zeros((args.batch_size, n_samples), np.float32)
@@ -176,9 +263,16 @@ def main(argv=None):
             targets[b, len(toks):] = 0
             target_lens[b] = len(toks)
         feats = featurize(jnp.asarray(waves))
-        frame_lens = jnp.asarray(
-            np.minimum(wave_lens // mel.hop_length + 1, feats.shape[1]),
-            jnp.int32)
+        if args.streaming_features:
+            # feat_lens counts VALID CHUNKS in streaming mode
+            from asr_streaming_tpu.utils.audio import EN_AUDIO
+            frame_lens = jnp.asarray(np.minimum(
+                -(-wave_lens // EN_AUDIO.segment_length), feats.shape[1]),
+                jnp.int32)
+        else:
+            frame_lens = jnp.asarray(
+                np.minimum(wave_lens // mel.hop_length + 1, feats.shape[1]),
+                jnp.int32)
         batch = RNNTBatch(feats=feats, feat_lens=frame_lens,
                           targets=jnp.asarray(targets),
                           target_lens=jnp.asarray(target_lens))

@@ -44,6 +44,53 @@ def test_greedy_decode_runs_and_masks_inactive():
         np.asarray(state.encoder.lc_k[:, 2]))
 
 
+def test_greedy_cross_chunk_matches_oracle():
+    """Device greedy over SEVERAL chunks must equal a per-frame Python
+    oracle that carries the predictor the torchaudio way (state + cached
+    output per consumed token).  Regression: the step used to store the
+    predictor state from AFTER consuming last_token and then re-consume
+    it at the next chunk start, conditioning the joiner on
+    [..., last, last] — emissions died after the first chunk that
+    produced a token (invisible to single-chunk tests, and to random-
+    weight multi-chunk runs only checking that SOMETHING is emitted)."""
+    params = init_rnnt_params(jax.random.PRNGKey(3), CFG)
+    chunks = [_feats(1, seed=10 + c) for c in range(3)]
+
+    # device path
+    state = init_rnnt_state(CFG, 1)
+    device_toks = []
+    encs = []
+    for f in chunks:
+        out = rnnt_greedy_stream_step(params, CFG, f, state)
+        state = out.state
+        device_toks += [int(t) for t in np.asarray(out.tokens)[0]
+                        if t != CFG.blank]
+        encs.append(np.asarray(out.encodings)[0])
+
+    # oracle: frame loop with (state-after-consume, cached out) carry
+    from asr_streaming_tpu.models.rnnt import PredictorState
+    pstate = PredictorState(
+        h=jnp.zeros((CFG.pred_layers, 1, CFG.pred_hidden)),
+        c=jnp.zeros((CFG.pred_layers, 1, CFG.pred_hidden)))
+    pout, pstate = predictor_step(
+        params, jnp.full((1,), CFG.blank, jnp.int32), pstate)
+    oracle_toks = []
+    for enc in np.concatenate(encs, axis=0):
+        for _ in range(CFG.max_symbols_per_frame):
+            logits = np.asarray(joiner(params, jnp.asarray(enc)[None],
+                                       pout[:1] if pout.ndim == 2
+                                       else pout))
+            tok = int(logits[0].argmax())
+            if tok == CFG.blank:
+                break
+            oracle_toks.append(tok)
+            pout, pstate = predictor_step(
+                params, jnp.asarray([tok], jnp.int32), pstate)
+
+    assert device_toks == oracle_toks
+    assert len(oracle_toks) > 0, "degenerate fixture: nothing emitted"
+
+
 def test_greedy_batch_invariance():
     params = init_rnnt_params(jax.random.PRNGKey(2), CFG)
     f = _feats(3, seed=5)
