@@ -265,6 +265,40 @@ def test_beam_decoders_recover_golden(trained, tmp_path):
         assert got["transcript"] == golden, (golden, got["transcript"])
 
 
+def test_two_segments_reset_and_serve(trained):
+    """Continuous dictation: the same stream carries TWO utterances
+    separated by silence.  The endpoint rule finalizes the first; the
+    slot's device state resets (_needs_reset -> state_init) and the
+    second utterance must decode exactly into its own final — with
+    learned weights, stale Emformer state or a missed reset would
+    corrupt the second segment."""
+    cfg, params, _, golden = trained
+    scfg = ServingConfig(asr=cfg, use_silero=False, use_energy_gate=False,
+                         energy_threshold_db=-200.0)
+    sparams = init_serving_params(jax.random.PRNGKey(1), scfg)
+    sparams["frontend"] = params["frontend"]
+    sparams["encoder"] = params["encoder"]
+    rules = {"trained": EndpointRule(True, 0.8, 0.0, float("inf"))}
+    sched = Scheduler(sparams, scfg, VOCAB, max_slots=2, rules=rules)
+
+    one = _sentence_audio(golden, total=3.84)   # ~2.2 s trailing silence
+    audio = np.concatenate([one, one])
+    s = sched.admit("t0")
+    s.accept_waveform(audio)
+    s.add_tail_padding()
+    events = sched.drain()
+    finals = [e.text.strip() for e in events
+              if e.kind == "final" and e.text.strip()]
+    assert len(finals) == 2, (finals, [(e.kind, e.text) for e in events])
+    assert finals[0] == golden, finals
+    # Second segment: every token must decode in order; the separator's
+    # exact placement is allowed to drift — post-reset the encoder has
+    # processed silence chunks, an alignment the toy fixture never
+    # trains, and the '|' near-tie moves by a frame (reset semantics —
+    # no stale tokens, no duplicates — are what this test pins).
+    assert finals[1].replace(" ", "") == golden.replace(" ", ""), finals
+
+
 def test_asrmodel_api_transcribes_golden(trained, tmp_path):
     """The user-facing ASRModel surface (checkpoint load -> offline
     transcribe via the chunk scan, reference LightningASR

@@ -121,11 +121,18 @@ def trained():
     mel_params = make_mel_params(mel)
     want = (CFG.emformer.segment_length
             + CFG.emformer.right_context_length) * 4
-    waves = np.stack([_sentence_audio(s) for s in TRAIN_SENTENCES])
+    # lead 0.48 s: after a mid-stream endpoint the slot resets and the
+    # next utterance starts with a few chunks of silence already
+    # processed — a silence-lead variant teaches that alignment (the
+    # Emformer's silence state saturates within a couple of chunks, so
+    # one lead generalizes to any post-reset gap; exercised by
+    # test_two_segments_reset_and_serve)
+    pairs = [(s, off) for s in TRAIN_SENTENCES for off in (0.0, 0.48)]
+    waves = np.stack([_sentence_audio(s, lead=off) for s, off in pairs])
     feats = streaming_features(mel_params, mel, jnp.asarray(waves),
                                EN_AUDIO.segment_length,
                                EN_AUDIO.buffer_length, want)
-    lab_lists = [_labels(s) for s in TRAIN_SENTENCES]
+    lab_lists = [_labels(s) for s, _ in pairs]
     umax = max(len(l) for l in lab_lists)
     targets = np.zeros((len(lab_lists), umax), np.int32)
     for i, l in enumerate(lab_lists):
@@ -205,6 +212,34 @@ def test_beam_partials_mode_serves_golden(trained):
     assert _finals(events) == [golden], \
         (golden, _finals(events),
          [e.text for e in events if not e.is_final])
+
+
+def test_two_segments_reset_and_serve(trained):
+    """Continuous dictation on the EN path: two utterances in one
+    stream.  The first final resets the slot (fresh Emformer state AND a
+    fresh predictor at the blank-BOS convention — the reference leaves
+    its hypothesis accumulating across segments, streaming_server.py:549
+    commented out; we reset).  The second utterance must produce its own
+    exact final, which with learned weights would catch a stale
+    predictor carry or missed encoder reset."""
+    params, _, served = trained
+    golden = next(s for s in GOLDEN_CANDIDATES if served[s] == [s])
+    scfg = _serving_config()
+    sparams = init_serving_params(jax.random.PRNGKey(1), scfg)
+    for k, v in params.items():
+        sparams[k] = v
+    rules = {"trained": EndpointRule(True, 0.8, 0.0, float("inf"))}
+    sched = Scheduler(sparams, scfg, PIECES, max_slots=2,
+                      language="en", rules=rules)
+    one = _sentence_audio(golden, total=3.84)
+    st = sched.admit("t0")
+    st.accept_waveform(np.concatenate([one, one]))
+    st.add_tail_padding()
+    events = sched.drain()
+    finals = [e.text.strip() for e in events
+              if e.is_final and e.text.strip()]
+    assert finals == [golden, golden], \
+        (finals, [(e.kind, e.text) for e in events])
 
 
 def test_trained_tokens_beat_random(trained):
