@@ -371,8 +371,9 @@ class RNNTBeamDecoder:
                     finished.append(Hypothesis(
                         h.tokens, h.score + float(logp[cfg.blank]),
                         h.pred_state, h.pred_out))
-                    top = np.argpartition(logp, -self.beam_width
-                                          )[-self.beam_width:]
+                    # beam width can exceed the vocab (tiny test configs)
+                    k = min(self.beam_width, len(logp))
+                    top = np.argpartition(logp, -k)[-k:]
                     for tok in top:
                         tok = int(tok)
                         if tok == cfg.blank:

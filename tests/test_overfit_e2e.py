@@ -265,6 +265,39 @@ def test_beam_decoders_recover_golden(trained, tmp_path):
         assert got["transcript"] == golden, (golden, got["transcript"])
 
 
+def test_final_segment_beam_rescore_roundtrip(trained):
+    """The server rescored finals through decode.beam.make_rescorer:
+    beam search over the segment's DEVICE-buffered emission (f16 ring
+    buffer -> _fetch_emission -> [T, V] log-probs).  With learned
+    weights, the fetched emission must beam-decode back to the golden
+    sentence — exercising the emission append, the final-segment
+    snapshot, the f16 round trip and the lexicon beam on served data
+    (reference: rescore-on-final, streaming_server.py:500-520)."""
+    from asr_streaming_tpu.decode.beam import LexiconBeamDecoder
+    cfg, params, _, golden = trained
+    scfg = ServingConfig(asr=cfg, use_silero=False, use_energy_gate=False,
+                         energy_threshold_db=-200.0)
+    sparams = init_serving_params(jax.random.PRNGKey(1), scfg)
+    sparams["frontend"] = params["frontend"]
+    sparams["encoder"] = params["encoder"]
+    rules = {"trained": EndpointRule(True, 0.8, 0.0, float("inf"))}
+    sched = Scheduler(sparams, scfg, VOCAB, max_slots=2, rules=rules)
+    s = sched.admit("t0")
+    # trailing separator hum closes the last word for the lexicon
+    s.accept_waveform(_sentence_audio(golden + " ", total=3.84))
+    s.add_tail_padding()
+    events = sched.drain()
+    finals = [e for e in events if e.kind == "final" and e.text.strip()]
+    assert finals and finals[0].segment is not None
+    seg = finals[0].segment
+    assert seg.length > 0
+    emission = np.asarray(seg.emission[:seg.length], np.float32)
+    words = sorted({w for t in TRAIN_SENTENCES for w in t.split(" ")})
+    lexicon = {w: list(w) + ["|"] for w in words}
+    res = LexiconBeamDecoder(VOCAB, lexicon).decode(emission)
+    assert res.transcript == golden, (golden, res.transcript)
+
+
 def test_two_segments_reset_and_serve(trained):
     """Continuous dictation: the same stream carries TWO utterances
     separated by silence.  The endpoint rule finalizes the first; the

@@ -214,6 +214,25 @@ def test_beam_partials_mode_serves_golden(trained):
          [e.text for e in events if not e.is_final])
 
 
+def test_final_segment_rnnt_rescore_roundtrip(trained):
+    """The EN server rescored finals with make_rnnt_rescorer: host beam
+    over the segment's DEVICE-buffered transcriber encodings (packed-f16
+    ring buffer -> _fetch_emission).  With learned weights the fetched
+    encodings must beam-decode back to the golden transcript — the
+    packing, the snapshot length accounting and the host beam all carry
+    served data (reference final quality path, streaming_server.py:445)."""
+    from asr_streaming_tpu.models.rnnt import make_rnnt_rescorer
+    params, _, served = trained
+    golden = next(s for s in GOLDEN_CANDIDATES if served[s] == [s])
+    events = _serve_events(params, golden)
+    finals = [e for e in events if e.is_final and e.text.strip()]
+    assert finals and finals[0].segment is not None
+    seg = finals[0].segment
+    assert seg.length > 0
+    text = make_rnnt_rescorer(params, CFG, PIECES)(seg).strip()
+    assert text == golden, (golden, text)
+
+
 def test_two_segments_reset_and_serve(trained):
     """Continuous dictation on the EN path: two utterances in one
     stream.  The first final resets the slot (fresh Emformer state AND a
