@@ -332,6 +332,39 @@ def test_two_segments_reset_and_serve(trained):
     assert finals[1].replace(" ", "") == golden.replace(" ", ""), finals
 
 
+def test_worker_mode_serves_golden(trained, tmp_path):
+    """device_worker mode (the production default: a spawned child owns
+    the device, shared-memory staging, checkpoint-loaded params) must
+    serve the exact golden transcript — the only worker test with
+    learned weights, so a child-side param mismatch or staging
+    corruption would surface as a wrong transcript, not just a shape
+    error."""
+    cfg, params, _, golden = trained
+    scfg = ServingConfig(asr=cfg, use_silero=False, use_energy_gate=False,
+                         energy_threshold_db=-200.0)
+    sparams = init_serving_params(jax.random.PRNGKey(1), scfg)
+    sparams["frontend"] = params["frontend"]
+    sparams["encoder"] = params["encoder"]
+    path = str(tmp_path / "worker_overfit.npz")
+    save_params(path, sparams)
+
+    rules = {"trained": EndpointRule(True, 0.8, 0.0, float("inf"))}
+    sched = Scheduler(sparams, scfg, VOCAB, max_slots=2, rules=rules,
+                      device_worker={"seed": 1, "checkpoint": path,
+                                     "platform": "cpu"})
+    try:
+        assert sched.warmup() > 0
+        s = sched.admit("t0")
+        s.accept_waveform(_sentence_audio(golden, total=3.84))
+        s.add_tail_padding()
+        events = sched.drain()
+    finally:
+        sched.close()
+    finals = [e.text.strip() for e in events
+              if e.kind == "final" and e.text.strip()]
+    assert golden in finals, (golden, [(e.kind, e.text) for e in events])
+
+
 def test_asrmodel_api_transcribes_golden(trained, tmp_path):
     """The user-facing ASRModel surface (checkpoint load -> offline
     transcribe via the chunk scan, reference LightningASR
