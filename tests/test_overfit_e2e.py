@@ -332,6 +332,33 @@ def test_two_segments_reset_and_serve(trained):
     assert finals[1].replace(" ", "") == golden.replace(" ", ""), finals
 
 
+def test_grouped_scheduler_serves_golden(trained):
+    """GroupedScheduler (the latency-oriented production mode: slots
+    split into independently ticked groups) must serve the exact golden
+    transcript for streams landing in DIFFERENT groups."""
+    from asr_streaming_tpu.streaming.scheduler import GroupedScheduler
+    cfg, params, _, golden = trained
+    scfg = ServingConfig(asr=cfg, use_silero=False, use_energy_gate=False,
+                         energy_threshold_db=-200.0)
+    sparams = init_serving_params(jax.random.PRNGKey(1), scfg)
+    sparams["frontend"] = params["frontend"]
+    sparams["encoder"] = params["encoder"]
+    rules = {"trained": EndpointRule(True, 0.8, 0.0, float("inf"))}
+    sched = GroupedScheduler(sparams, scfg, VOCAB, max_slots=4, groups=2,
+                             rules=rules)
+    audio = _sentence_audio(golden, total=3.84)
+    streams = [sched.admit(f"t{i}") for i in range(3)]  # spans both groups
+    for s in streams:
+        s.accept_waveform(audio)
+        s.add_tail_padding()
+    events = sched.drain()
+    for s in streams:
+        finals = [e.text.strip() for e in events
+                  if e.kind == "final" and e.stream_id == s.id
+                  and e.text.strip()]
+        assert finals == [golden], (s.id, finals)
+
+
 def test_worker_mode_serves_golden(trained, tmp_path):
     """device_worker mode (the production default: a spawned child owns
     the device, shared-memory staging, checkpoint-loaded params) must
