@@ -332,6 +332,29 @@ def test_two_segments_reset_and_serve(trained):
     assert finals[1].replace(" ", "") == golden.replace(" ", ""), finals
 
 
+def test_mulaw_upload_serves_golden(trained):
+    """upload_encoding="mulaw" is the production default (halves upload
+    bytes over the host link); the G.711 companding plus the native
+    gather+encode codec must not move the golden transcript."""
+    cfg, params, _, golden = trained
+    scfg = ServingConfig(asr=cfg, use_silero=False, use_energy_gate=False,
+                         energy_threshold_db=-200.0,
+                         upload_encoding="mulaw")
+    sparams = init_serving_params(jax.random.PRNGKey(1), scfg)
+    sparams["frontend"] = params["frontend"]
+    sparams["encoder"] = params["encoder"]
+    rules = {"trained": EndpointRule(True, 0.8, 0.0, float("inf"))}
+    sched = Scheduler(sparams, scfg, VOCAB, max_slots=2, rules=rules)
+    s = sched.admit("t0")
+    s.accept_waveform(_sentence_audio(golden, total=3.84))
+    s.add_tail_padding()
+    events = sched.drain()
+    finals = [e.text.strip() for e in events
+              if e.kind == "final" and e.text.strip()]
+    assert finals == [golden], (finals,
+                                [(e.kind, e.text) for e in events])
+
+
 def test_grouped_scheduler_serves_golden(trained):
     """GroupedScheduler (the latency-oriented production mode: slots
     split into independently ticked groups) must serve the exact golden
