@@ -497,6 +497,85 @@ def test_websocket_server_serves_golden(trained):
     assert any(t.strip() == golden for t in finals), (golden, messages)
 
 
+def test_44k_resample_serves_golden(trained):
+    """A 44.1 kHz client: the websocket server's streaming polyphase
+    resampler (utils/resample.py, reference streaming_server.py:348-360)
+    must deliver audio the trained model still transcribes exactly —
+    pure tones survive resampling up to filter ripple, so a wrong
+    transcript means a resampler defect, not audio loss."""
+    import asyncio
+    import json as json_mod
+    import os
+
+    import websockets
+
+    from asr_streaming_tpu.server.ws_server import StreamingServer
+
+    cfg, params, _, golden = trained
+    scfg = ServingConfig(asr=cfg, use_silero=False, use_energy_gate=False,
+                         energy_threshold_db=-200.0)
+    sparams = init_serving_params(jax.random.PRNGKey(1), scfg)
+    sparams["frontend"] = params["frontend"]
+    sparams["encoder"] = params["encoder"]
+    rules = {"trained": EndpointRule(True, 0.8, 0.0, float("inf"))}
+    sched = Scheduler(sparams, scfg, VOCAB, max_slots=2, rules=rules)
+    server = StreamingServer(sched, tick_idle_sleep=0.002)
+    port = 18880 + (os.getpid() % 300)
+
+    # golden audio synthesized NATIVELY at 44.1 kHz (same timing layout)
+    sr = 44100
+    parts = []
+    for ch in golden:
+        t = np.arange(int(sr * TONE_SEC)) / sr
+        w = 0.3 * np.sin(2 * np.pi * TONE_HZ[ch] * t)
+        ramp = np.minimum(1.0, np.arange(len(t)) / (0.010 * sr))
+        parts.extend([(w * ramp * ramp[::-1]).astype(np.float32),
+                      np.zeros(int(sr * GAP_SEC), np.float32)])
+    audio = np.concatenate(parts)
+    audio = np.pad(audio, (0, int(sr * 3.84) - len(audio)))
+    pcm = (np.clip(audio, -1, 1) * 32767).astype(np.int16).tobytes()
+
+    async def client():
+        url = (f"ws://127.0.0.1:{port}/voice/api/asr/v1/ws/decode_online"
+               f"?content-type=audio/x-raw,+layout=(string)interleaved,"
+               f"+rate=(int)44100")
+        for _ in range(120):
+            try:
+                ws = await websockets.connect(url)
+                break
+            except OSError:
+                await asyncio.sleep(0.5)
+        messages = []
+        async with ws:
+            step = 44100 // 4 * 2
+            for i in range(0, len(pcm), step):
+                await ws.send(pcm[i:i + step])
+                await asyncio.sleep(0.01)
+            await ws.send(json_mod.dumps({"__COMMAND__": "__EOS__"}))
+            while True:
+                msg = await asyncio.wait_for(ws.recv(), timeout=60)
+                messages.append(msg)
+                if msg == "__REQUEST_COMPLETED__":
+                    break
+        return messages
+
+    async def run():
+        task = asyncio.create_task(server.run(port))
+        await asyncio.sleep(0.3)
+        try:
+            return await client()
+        finally:
+            task.cancel()
+            server.stop_ticks()
+
+    messages = asyncio.run(run())
+    finals = [json_mod.loads(m)["result"]["hypotheses"][0]["transcript"]
+              for m in messages
+              if m != "__REQUEST_COMPLETED__"
+              and json_mod.loads(m).get("result", {}).get("final")]
+    assert any(t.strip() == golden for t in finals), (golden, messages)
+
+
 def test_golden_survives_f16_emission_roundtrip(trained):
     """The serving path stores per-frame argmax through an f16-packed
     emission ring buffer (models/serving.py).  The golden sentence's
