@@ -332,6 +332,36 @@ def test_two_segments_reset_and_serve(trained):
     assert finals[1].replace(" ", "") == golden.replace(" ", ""), finals
 
 
+def test_sharded_mesh_serves_golden(trained):
+    """Multi-chip data-parallel serving (slots sharded over the mesh's
+    data axis via shard_map, parallel/serving.py) must produce the exact
+    golden transcript on the virtual 8-device mesh — cross-device slot
+    placement, sharded state reset and the per-shard step all carry
+    learned weights."""
+    from asr_streaming_tpu.parallel.serving import make_serving_mesh
+    cfg, params, _, golden = trained
+    scfg = ServingConfig(asr=cfg, use_silero=False, use_energy_gate=False,
+                         energy_threshold_db=-200.0)
+    sparams = init_serving_params(jax.random.PRNGKey(1), scfg)
+    sparams["frontend"] = params["frontend"]
+    sparams["encoder"] = params["encoder"]
+    rules = {"trained": EndpointRule(True, 0.8, 0.0, float("inf"))}
+    mesh = make_serving_mesh(8)
+    sched = Scheduler(sparams, scfg, VOCAB, max_slots=8, mesh=mesh,
+                      rules=rules, donate_state=False)
+    audio = _sentence_audio(golden, total=3.84)
+    streams = [sched.admit(f"t{i}") for i in range(3)]
+    for s in streams:
+        s.accept_waveform(audio)
+        s.add_tail_padding()
+    events = sched.drain()
+    for s in streams:
+        finals = [e.text.strip() for e in events
+                  if e.kind == "final" and e.stream_id == s.id
+                  and e.text.strip()]
+        assert finals == [golden], (s.id, finals)
+
+
 def test_mulaw_upload_serves_golden(trained):
     """upload_encoding="mulaw" is the production default (halves upload
     bytes over the host link); the G.711 companding plus the native
