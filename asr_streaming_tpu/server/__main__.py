@@ -253,6 +253,29 @@ def build_server(settings, max_slots=None):
         save_audio_dir="audio_cache" if settings.save_audio else None)
 
 
+def install_graceful_signals() -> None:
+    """Route SIGINT *and* SIGTERM into KeyboardInterrupt on the main thread.
+
+    The graceful-drain path in main() must run no matter how the process
+    was launched: backgrounded children of non-interactive shells inherit
+    SIGINT=SIG_IGN (python then never installs its default
+    KeyboardInterrupt handler, so plain `kill -INT` is silently ignored),
+    and orchestrators send SIGTERM.  signal.signal overrides an inherited
+    SIG_IGN, and handlers always run on the main thread — which main()
+    parks in a join loop — so raising here unwinds straight into its
+    `except KeyboardInterrupt` drain branch (scheduler.close() lets the
+    device finish in-flight work; hard kills can wedge remote backends,
+    NOTES_r2.md).
+    """
+    import signal
+
+    def _graceful(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGINT, _graceful)
+    signal.signal(signal.SIGTERM, _graceful)
+
+
 def main():
     from asr_streaming_tpu.server.config import ServerSettings
 
@@ -300,6 +323,8 @@ def main():
             asyncio.run(server.run(args.port))
         except BaseException as e:   # noqa: BLE001 — reported via exit code
             failure.append(e)
+
+    install_graceful_signals()
 
     t = threading.Thread(target=loop_main, name="asyncio-loop",
                          daemon=True)

@@ -22,7 +22,16 @@ _enabled = False
 
 
 def enable_compile_cache(cache_dir: Optional[str] = None) -> str:
-    """Point jax at a persistent on-disk compilation cache. Idempotent."""
+    """Point jax at a persistent on-disk compilation cache. Idempotent.
+
+    TPU-backed processes only: XLA:CPU AOT entries bake in the compiling
+    host's CPU features, and this cache directory can be shared across
+    machines (sandboxed shells here present varying feature sets) — a
+    mismatched entry loads with a SIGILL warning (cpu_aot_loader.cc),
+    observed live in the device-worker server parent, which pins jax to
+    CPU.  TPU entries are device-targeted and safe.  Same policy as
+    tests/conftest.py.
+    """
     global _enabled
     cache_dir = (cache_dir
                  or os.environ.get("JAX_COMPILATION_CACHE_DIR")
@@ -30,8 +39,12 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> str:
     if _enabled:
         return cache_dir
     try:
-        os.makedirs(cache_dir, exist_ok=True)
         import jax
+        if jax.default_backend() == "cpu":
+            logging.info("compile cache disabled for CPU backend "
+                         "(host-specific AOT entries; see docstring)")
+            return cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache everything that took meaningful compile time; the serving
         # step is minutes, but warmup helpers matter too

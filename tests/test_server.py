@@ -175,3 +175,26 @@ def test_sender_services_barrier_after_connection_closed():
         sender.cancel()
 
     asyncio.run(run())
+
+
+def test_graceful_signal_install_overrides_ignored_sigint():
+    """Backgrounded children of non-interactive shells inherit
+    SIGINT=SIG_IGN; install_graceful_signals must still route BOTH
+    SIGINT and SIGTERM into KeyboardInterrupt on the main thread so
+    main()'s drain branch (scheduler.close before exit) always runs."""
+    import signal
+
+    from asr_streaming_tpu.server import __main__ as server_main
+
+    old_int = signal.getsignal(signal.SIGINT)
+    old_term = signal.getsignal(signal.SIGTERM)
+    try:
+        signal.signal(signal.SIGINT, signal.SIG_IGN)   # simulate `&` launch
+        server_main.install_graceful_signals()
+        with pytest.raises(KeyboardInterrupt):
+            os.kill(os.getpid(), signal.SIGINT)
+        with pytest.raises(KeyboardInterrupt):
+            os.kill(os.getpid(), signal.SIGTERM)
+    finally:
+        signal.signal(signal.SIGINT, old_int)
+        signal.signal(signal.SIGTERM, old_term)

@@ -113,3 +113,19 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     for got, want in zip(jax.tree.leaves(restored),
                          jax.tree.leaves(params)):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_compile_cache_disabled_on_cpu_backend(tmp_path):
+    """XLA:CPU AOT cache entries bake in host CPU features and SIGILL on
+    feature-mismatched hosts (observed live in the CPU-pinned
+    device-worker server parent) — on a cpu backend the persistent cache
+    must stay OFF."""
+    import jax
+
+    from asr_streaming_tpu.utils import compile_cache
+
+    target = tmp_path / "xla"
+    compile_cache.enable_compile_cache(str(target))
+    assert jax.config.jax_compilation_cache_dir in (None, "")
+    assert not target.exists()          # not even created
+    assert not compile_cache._enabled   # future TPU processes unaffected
