@@ -321,8 +321,12 @@ def make_rescorer(vocab: Sequence[str], lexicon_path: str, lm_path: str,
     """Build a FinalSegment -> alignment callable for the server."""
     from asr_streaming_tpu.text.vocab import load_lexicon
 
+    from asr_streaming_tpu.decode.kenlm_binary import load_lm
+
     lexicon = load_lexicon(lexicon_path)
-    lm = ArpaLM.from_arpa(lm_path) if lm_path else None
+    # text ARPA or KenLM PROBING binary (the reference's production LM
+    # asset, `lm: 3gram.bin` asr-online.yaml:22) — sniffed by magic
+    lm = load_lm(lm_path) if lm_path else None
     decoder = LexiconBeamDecoder(vocab, lexicon, lm, **kwargs)
 
     def rescore(segment) -> List[dict]:

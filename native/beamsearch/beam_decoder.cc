@@ -29,11 +29,55 @@ namespace {
 
 constexpr double kLog10 = 2.302585092994046;
 
-// ----------------------------------------------------------------- ARPA LM
+// ------------------------------------------------------------ LM interface
+//
+// Two implementations share the Katz-backoff scorer: text ARPA (ArpaLM)
+// and KenLM's PROBING binary (KenLMProbing) — the reference's production
+// LM asset format (`lm: 3gram.bin`, reference config asr-online.yaml:22,
+// loaded through flashlight+kenlm at recognition.py:236-245).
 
-class ArpaLM {
+class LmBase {
  public:
   int order = 1;
+  virtual ~LmBase() = default;
+
+  // logP_e(words[from..]) with standard Katz backoff
+  virtual float BackoffScore(const std::vector<std::string>& words,
+                             size_t from) const = 0;
+
+  float Score(std::vector<std::string>* state, const std::string& word)
+      const {
+    state->push_back(word);
+    size_t from = state->size() > (size_t)order
+                      ? state->size() - order : 0;
+    float logp = BackoffScore(*state, from);
+    if (state->size() > (size_t)(order - 1))
+      state->erase(state->begin(), state->end() - (order - 1));
+    return logp;
+  }
+
+  float Finish(const std::vector<std::string>& state) const {
+    std::vector<std::string> words = state;
+    words.push_back("</s>");
+    size_t from = words.size() > (size_t)order ? words.size() - order : 0;
+    return BackoffScore(words, from);
+  }
+
+  static std::string Join(const std::vector<std::string>& w, size_t a,
+                          size_t b) {
+    std::string out;
+    for (size_t i = a; i < b; ++i) {
+      if (i > a) out += '\x1f';
+      out += w[i];
+    }
+    return out;
+  }
+};
+
+// ----------------------------------------------------------------- ARPA LM
+
+class ArpaLM : public LmBase {
+ public:
   // ngram (words joined by '\x1f') -> {logprob_e, backoff_e}
   std::unordered_map<std::string, std::pair<float, float>> ngrams;
 
@@ -78,7 +122,7 @@ class ArpaLM {
 
   // state: up to (order-1) words joined by '\x1f'
   float BackoffScore(const std::vector<std::string>& words, size_t from)
-      const {
+      const override {
     size_t n = words.size() - from;
     if (n == 0) return -23.f;
     if (n > 1) {
@@ -96,36 +140,233 @@ class ArpaLM {
     return unk != ngrams.end() ? unk->second.first : -23.f;
   }
 
-  float Score(std::vector<std::string>* state, const std::string& word)
-      const {
-    state->push_back(word);
-    size_t from = state->size() > (size_t)order
-                      ? state->size() - order : 0;
-    float logp = BackoffScore(*state, from);
-    // trim state to order-1 words
-    if (state->size() > (size_t)(order - 1))
-      state->erase(state->begin(),
-                   state->end() - (order - 1));
-    return logp;
-  }
-
-  float Finish(const std::vector<std::string>& state) const {
-    std::vector<std::string> words = state;
-    words.push_back("</s>");
-    size_t from = words.size() > (size_t)order ? words.size() - order : 0;
-    return BackoffScore(words, from);
-  }
-
-  static std::string Join(const std::vector<std::string>& w, size_t a,
-                          size_t b) {
-    std::string out;
-    for (size_t i = a; i < b; ++i) {
-      if (i > a) out += '\x1f';
-      out += w[i];
-    }
-    return out;
-  }
 };
+
+// --------------------------------------------------- KenLM PROBING binary
+//
+// On-disk layout (format version 5; documented in full, with the Python
+// writer/oracle twin, in asr_streaming_tpu/decode/kenlm_binary.py):
+//   [Sanity 88B: magic(56) zero/one/-0.5 f32, 1/max u32, 1 u64]
+//   [FixedWidthParameters 20B: order u8, multiplier f32, model_type i32,
+//    has_vocabulary u8, search_version u32] [order x u64 counts] pad8
+//   [vocab: {version u32, bound u32} + probing table of {hash u64,id u32}]
+//   [unigram: (counts[0]+1) x {prob f32, backoff f32}]
+//   [middle n=2..order-1: probing tables of {key u64, prob, backoff}]
+//   [longest: probing table of packed {key u64, prob f32}]
+//   [NUL-separated vocab strings]
+// Probabilities are ARPA log10 floats; converted to log_e at lookup so
+// scores match ArpaLM bit-for-bit on the same source ARPA.
+
+class KenLMProbing : public LmBase {
+ public:
+  static constexpr const char kMagic[] =
+      "mmap lm http://kheafield.com/code format version 5\n";
+
+  static std::unique_ptr<KenLMProbing> Load(const std::string& path,
+                                            std::string* error) {
+    std::ifstream f(path, std::ios::binary);
+    if (!f.good()) { *error = "cannot open " + path; return nullptr; }
+    auto lm = std::make_unique<KenLMProbing>();
+    lm->data_.assign(std::istreambuf_iterator<char>(f),
+                     std::istreambuf_iterator<char>());
+    const size_t kMagicLen = sizeof(kMagic);  // incl. trailing '\0' = 53
+    const size_t kSanity = 88;
+    if (lm->data_.size() < kSanity + 20 ||
+        std::memcmp(lm->data_.data(), kMagic, kMagicLen) != 0) {
+      *error = "not a KenLM binary (magic mismatch)";
+      return nullptr;
+    }
+    float sanity_f[3];
+    std::memcpy(sanity_f, lm->data_.data() + Align8(kMagicLen), 12);
+    if (sanity_f[0] != 0.f || sanity_f[1] != 1.f || sanity_f[2] != -0.5f) {
+      *error = "KenLM sanity block mismatch (incompatible platform)";
+      return nullptr;
+    }
+    const char* p = lm->data_.data() + kSanity;
+    unsigned char order_u8;
+    std::memcpy(&order_u8, p, 1);
+    float multiplier;
+    std::memcpy(&multiplier, p + 4, 4);
+    int32_t model_type;
+    std::memcpy(&model_type, p + 8, 4);
+    unsigned char has_vocab;
+    std::memcpy(&has_vocab, p + 12, 1);
+    if (model_type != 0) {
+      *error = "KenLM model type " + std::to_string(model_type) +
+               " unsupported (only PROBING=0; TRIE-family/REST binaries "
+               "must be rebuilt as probing or converted from text ARPA "
+               "with tools/build_lm.py)";
+      return nullptr;
+    }
+    if (!has_vocab) {
+      *error = "KenLM binary was built without vocabulary strings "
+               "(build_binary default includes them); word-level "
+               "scoring needs them";
+      return nullptr;
+    }
+    lm->order = order_u8;
+    std::vector<uint64_t> counts(order_u8);
+    std::memcpy(counts.data(), p + 20, 8 * order_u8);
+    size_t off = Align8(kSanity + 20 + 8 * order_u8);
+
+    // vocab table
+    uint32_t bound;
+    std::memcpy(&bound, lm->data_.data() + off + 4, 4);
+    lm->bound_ = bound;
+    off += 8;
+    uint64_t vb = Buckets(counts[0], multiplier);
+    size_t vocab_table_off = off;
+    off += vb * 12;
+
+    // unigram
+    lm->unigram_off_ = off;
+    off += (counts[0] + 1) * 8;
+
+    // middles + longest
+    for (int n = 2; n < lm->order; ++n) {
+      uint64_t nb = Buckets(counts[n - 1], multiplier);
+      lm->middles_.push_back({off, nb});
+      off += nb * 16;
+    }
+    if (lm->order > 1) {
+      uint64_t nb = Buckets(counts[lm->order - 1], multiplier);
+      lm->longest_ = {off, nb};
+      off += nb * 12;
+    }
+    if (off > lm->data_.size()) {
+      *error = "KenLM binary truncated (expected " + std::to_string(off) +
+               " bytes of tables, file has " +
+               std::to_string(lm->data_.size()) + ")";
+      return nullptr;
+    }
+
+    // vocab strings -> word ids (tolerate layouts with or without a
+    // leading "<unk>")
+    const char* s = lm->data_.data() + off;
+    const char* end = lm->data_.data() + lm->data_.size();
+    std::vector<std::string> words;
+    while (s < end) {
+      size_t len = strnlen(s, end - s);
+      if (len > 0) words.emplace_back(s, len);
+      s += len + 1;
+    }
+    uint32_t wid = (!words.empty() && words[0] == "<unk>") ? 0 : 1;
+    for (const auto& w : words) lm->word_ids_.emplace(w, wid++);
+    (void)vocab_table_off;  // string map supersedes the hash table here
+    return lm;
+  }
+
+  float BackoffScore(const std::vector<std::string>& words, size_t from)
+      const override {
+    std::vector<uint32_t> ids;
+    ids.reserve(words.size() - from);
+    for (size_t i = from; i < words.size(); ++i) {
+      auto it = word_ids_.find(words[i]);
+      ids.push_back(it == word_ids_.end() ? 0u : it->second);
+    }
+    if (ids.size() > (size_t)order)
+      ids.erase(ids.begin(), ids.end() - order);
+    return BackoffIds(ids.data(), ids.size());
+  }
+
+ private:
+  static size_t Align8(size_t n) { return (n + 7) & ~(size_t)7; }
+  static uint64_t Buckets(uint64_t entries, float multiplier) {
+    uint64_t m = (uint64_t)(multiplier * (float)entries);
+    return entries + 1 > m ? entries + 1 : m;
+  }
+
+  struct Table { size_t off; uint64_t buckets; };
+
+  // detail::CombineWordHash chain, newest word first
+  static uint64_t ChainedKey(const uint32_t* ids, size_t n) {
+    uint64_t h = ids[n - 1];
+    for (size_t k = n - 1; k-- > 0;)
+      h = (h * 8978948897894561157ULL) ^
+          ((1ULL + ids[k]) * 17894857484156487943ULL);
+    return h;
+  }
+
+  // linear-probing find; returns byte offset of entry or SIZE_MAX
+  size_t Find(const Table& t, size_t entry_size, uint64_t key) const {
+    uint64_t slot = key % t.buckets;
+    for (uint64_t i = 0; i < t.buckets; ++i) {
+      size_t off = t.off + (size_t)slot * entry_size;
+      uint64_t got;
+      std::memcpy(&got, data_.data() + off, 8);
+      if (got == key) return off;
+      if (got == 0) return SIZE_MAX;
+      if (++slot == t.buckets) slot = 0;
+    }
+    return SIZE_MAX;
+  }
+
+  bool Lookup(const uint32_t* ids, size_t n, float* prob,
+              float* backoff) const {
+    if (n == 1) {
+      if (ids[0] >= bound_) return false;
+      float pb[2];
+      std::memcpy(pb, data_.data() + unigram_off_ + (size_t)ids[0] * 8, 8);
+      *prob = pb[0];
+      *backoff = pb[1];
+      return true;
+    }
+    uint64_t key = ChainedKey(ids, n);
+    if ((int)n == order) {
+      size_t off = Find(longest_, 12, key);
+      if (off == SIZE_MAX) return false;
+      std::memcpy(prob, data_.data() + off + 8, 4);
+      *backoff = 0.f;
+      return true;
+    }
+    size_t off = Find(middles_[n - 2], 16, key);
+    if (off == SIZE_MAX) return false;
+    float pb[2];
+    std::memcpy(pb, data_.data() + off + 8, 8);
+    *prob = pb[0];
+    *backoff = pb[1];
+    return true;
+  }
+
+  float BackoffIds(const uint32_t* ids, size_t n) const {
+    float prob, backoff;
+    if (n > 1) {
+      if (Lookup(ids, n, &prob, &backoff)) return prob * (float)kLog10;
+      float bo = 0.f;
+      if (Lookup(ids, n - 1, &prob, &backoff)) bo = backoff;
+      return bo * (float)kLog10 + BackoffIds(ids + 1, n - 1);
+    }
+    uint32_t wid = ids[0] < bound_ ? ids[0] : 0u;
+    float pb[2];
+    std::memcpy(pb, data_.data() + unigram_off_ + (size_t)wid * 8, 8);
+    return pb[0] * (float)kLog10;
+  }
+
+  std::vector<char> data_;
+  std::unordered_map<std::string, uint32_t> word_ids_;
+  size_t unigram_off_ = 0;
+  uint32_t bound_ = 0;
+  std::vector<Table> middles_;
+  Table longest_{0, 1};
+};
+
+// Polymorphic load: KenLM binary when the magic matches, else text ARPA
+// (the reference accepts either through kenlm, recognition.py:236-245).
+std::unique_ptr<LmBase> LoadLM(const std::string& path) {
+  {
+    std::ifstream f(path, std::ios::binary);
+    if (!f.good()) return nullptr;
+    char head[8] = {0};
+    f.read(head, 7);
+    if (std::memcmp(head, "mmap lm", 7) == 0) {
+      std::string error;
+      auto lm = KenLMProbing::Load(path, &error);
+      if (!lm) std::fprintf(stderr, "asrbeam: %s\n", error.c_str());
+      return lm;
+    }
+  }
+  return ArpaLM::Load(path);
+}
 
 // ------------------------------------------------------------ lexicon trie
 
@@ -207,7 +448,7 @@ struct HypKeyHash {
 class Decoder {
  public:
   std::unique_ptr<Lexicon> lexicon;
-  std::unique_ptr<ArpaLM> lm;
+  std::unique_ptr<LmBase> lm;
   std::vector<std::string> vocab;
   float lm_weight, beam_threshold, word_score, frame_seconds;
   int beam_size, beam_size_token, blank, silence;
@@ -239,7 +480,7 @@ class Decoder {
       for (auto& kv : hyps) {
         const Hyp& h = kv.second;
         const std::string lm_key =
-            ArpaLM::Join(h.lm_state, 0, h.lm_state.size());
+            LmBase::Join(h.lm_state, 0, h.lm_state.size());
         // blank
         push(Key{h.node, lm_key, blank},
              Hyp{h.node, h.lm_state, blank, h.score + frame[blank],
@@ -271,7 +512,7 @@ class Decoder {
               // Join(lm_next) and std::move(lm_next) as sibling arguments
               // has unspecified evaluation order.
               std::string next_key =
-                  ArpaLM::Join(lm_next, 0, lm_next.size());
+                  LmBase::Join(lm_next, 0, lm_next.size());
               push(Key{0, std::move(next_key), tok},
                    Hyp{0, std::move(lm_next), tok,
                        h.score + s + lm_weight * lm_s + word_score,
@@ -297,7 +538,7 @@ class Decoder {
       for (Hyp* h : ranked) {
         if (kept >= beam_size || h->score < cutoff) break;
         hyps.emplace(Key{h->node,
-                         ArpaLM::Join(h->lm_state, 0, h->lm_state.size()),
+                         LmBase::Join(h->lm_state, 0, h->lm_state.size()),
                          h->last_token},
                      *h);
         ++kept;
@@ -407,7 +648,7 @@ void* asr_decoder_create(const char* lexicon_path, const char* arpa_path,
   dec->lexicon = Lexicon::Load(lexicon_path, index);
   if (!dec->lexicon) return nullptr;
   if (arpa_path && arpa_path[0]) {
-    dec->lm = ArpaLM::Load(arpa_path);
+    dec->lm = LoadLM(arpa_path);   // text ARPA or KenLM PROBING binary
     if (!dec->lm) return nullptr;
   }
   dec->lm_weight = lm_weight;
