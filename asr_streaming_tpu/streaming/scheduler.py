@@ -50,6 +50,11 @@ class StreamEvent:
     segment: Optional[FinalSegment] = None
     utterance_seconds: float = 0.0
     stream: Optional[Stream] = None
+    # perf_counter timestamp of the device dispatch that produced this
+    # event (0.0 when unavailable) — lets harnesses split per-chunk
+    # latency into scheduling wait vs device service (bench.py
+    # link-decomposition artifact)
+    dispatched_at: float = 0.0
 
 
 class Scheduler:
@@ -441,7 +446,8 @@ class Scheduler:
                                   for slot, _ in batch}
             self.timers.observe("device_step",
                                 time.perf_counter() - t_dispatch)
-            events = self._scatter(pack, ready_prev)
+            events = self._scatter(pack, ready_prev,
+                                   dispatched_at=t_dispatch)
 
         # ---- phase 3: dispatch the new batch
         if ready:
@@ -489,7 +495,8 @@ class Scheduler:
         self.timers.observe("tick", self.last_tick_seconds)
         return events
 
-    def _scatter(self, pack: np.ndarray, ready) -> List[StreamEvent]:
+    def _scatter(self, pack: np.ndarray, ready,
+                 dispatched_at: float = 0.0) -> List[StreamEvent]:
         t_host = time.perf_counter()
         decoded = pack[:, PACK_DECODED] > 0.5
         lead = pack[:, PACK_LEAD]
@@ -562,17 +569,26 @@ class Scheduler:
                 events.append(StreamEvent(
                     stream_id=s.id, kind="final", text=seg.transcript_greedy,
                     is_final=True, segment=seg, utterance_seconds=utt_len,
-                    stream=s))
+                    stream=s, dispatched_at=dispatched_at))
             elif decoded[slot] and partial_update.get(slot) and \
                     s.transcript_internal.strip():
                 # (EN sends partials only on nonempty deltas — the
                 # reference's is_update flag, streaming_server.py:447-450)
                 events.append(StreamEvent(
                     stream_id=s.id, kind="partial",
-                    text=s.transcript_internal, stream=s))
+                    text=s.transcript_internal, stream=s,
+                    dispatched_at=dispatched_at))
 
         self.timers.observe("host_scatter", time.perf_counter() - t_host)
         self.timers.increment("chunks_processed", len(ready))
+        # VAD routing observability: how many gathered chunks actually
+        # ran the decode path vs were skipped as silence by the on-device
+        # gate (decode = active & (contain | (gate & silero)),
+        # models/serving.py) — the golden loop asserts skipped > 0 with
+        # trained VAD weights
+        self.timers.increment(
+            "chunks_decoded",
+            int(sum(1 for slot, _ in ready if decoded[slot])))
         self.timers.increment("finals",
                               sum(1 for e in events if e.is_final))
         return events

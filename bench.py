@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Headline benchmark: concurrent RTF<=1 streams per TPU chip, end-to-end.
 
-Two phases on the real chip, full production vi path (log-mel + Silero-
+Three phases on the real chip, full production vi path (log-mel + Silero-
 shaped VAD + 20-layer streaming Emformer via the fused Pallas layer
 kernel + CTC + greedy, bf16, real 804-token corpus vocab, mu-law upload,
 grouped continuous-batching scheduler):
@@ -11,14 +11,21 @@ grouped continuous-batching scheduler):
   B. paced real-time latency — all slots fed one chunk per 0.64 s with
      staggered arrivals (the reference's own client harness pacing,
      test/asr_test.py:39-65); per-chunk latency is measured from
-     chunk-ready to event-emitted, NOT estimated.
+     chunk-ready to event-emitted, NOT estimated, and split into
+     scheduling wait vs device service via the dispatch timestamp each
+     event carries.
+  C. link decomposition — pure device execution time per serving step
+     (chained dispatches, one sync: the tunnel round trip amortizes
+     away), which with the host stage timers yields a defensible
+     PCIe-host p50 bound.
 
-Both phases run MULTIPLE measurement windows and the headline is the
-best window: the axon host<->device tunnel's throughput swings 2.5x
-between identical runs (1470-4021 streams across round 2 — see
-BASELINE.md), so a single window is a link lottery, not a measurement
-of the framework.  Every window is reported in extra.passes, along
-with a tiny-dispatch RTT probe documenting link health at capture.
+Every measurement window is HEALTH-GATED: a tiny-dispatch RTT probe runs
+immediately before and after it, and a window only counts when both
+probes are under RTT_HEALTHY_MS (the axon host<->device tunnel collapses
+under sustained saturation — round 2 recorded a 157-stream window whose
+post-RTT was in the hundreds of ms next to 3935-stream windows of
+IDENTICAL code).  The headline is the MEDIAN of healthy windows;
+excluded windows are reported, never averaged in.
 
 Baseline: the reference's per-worker admission cap of 500 concurrent
 connections (streaming_server.py:78-86, docker-compose.yml:23-32);
@@ -48,16 +55,19 @@ SLOTS = 512
 # Two 256-slot groups win on BOTH axes; on local-PCIe hosts (tiny RTT)
 # more groups keep paying off.
 GROUPS = 2
-ROUNDS_A = 16          # full-service rounds in the throughput phase
 SECONDS_B = 10.0       # paced-load latency phase duration
-PASSES_A = 3           # throughput windows (headline = best window)
-PASSES_B = 2           # paced-latency windows (headline = best p50)
+PASSES_A = 5           # throughput windows (headline = median of healthy)
+PASSES_B = 3           # paced-latency windows (headline = median healthy)
+EXTRA_PASSES = 3       # retries when too few windows pass the gate
+RTT_HEALTHY_MS = 120.0  # healthy tunnel ~25-35 ms; collapsed = hundreds
+PCIE_LINK_ALLOWANCE_MS = 2.0  # H2D(2.6 MB mulaw)+D2H(pack) on local PCIe
 
 # env overrides for sweeps (the shipped defaults above are what the
 # driver's capture runs)
 import os as _os
 SLOTS = int(_os.environ.get("BENCH_SLOTS", SLOTS))
 GROUPS = int(_os.environ.get("BENCH_GROUPS", GROUPS))
+DEPTH = int(_os.environ.get("BENCH_DEPTH", 1))
 
 
 def wait_for_backend(budget_s: float = 1500.0, probe_s: float = 90.0) -> bool:
@@ -134,7 +144,7 @@ def main():
                         upload_encoding="mulaw")
     params = init_serving_params(jax.random.PRNGKey(0), cfg)
     sched = GroupedScheduler(params, cfg, vocab, max_slots=SLOTS,
-                             groups=GROUPS)
+                             groups=GROUPS, pipeline_depth=DEPTH)
 
     compile_s = sched.warmup()
 
@@ -153,10 +163,10 @@ def main():
             float(jnp.sum(f(x)))
         return round((time.perf_counter() - t0) / n * 1e3, 2)
 
-    rtt_before = link_rtt_ms()
+    rtt_at_start = link_rtt_ms()
 
-    def wait_link_recovery(budget_s: float = 90.0,
-                           good_ms: float = 150.0) -> None:
+    def wait_link_recovery(budget_s: float = 120.0,
+                           good_ms: float = RTT_HEALTHY_MS) -> None:
         """Sustained saturation can collapse the tunnel (a window drops
         3882 -> 239 streams); it recovers after idling.  Probe until the
         tiny-dispatch RTT looks healthy or the budget is spent."""
@@ -170,7 +180,7 @@ def main():
     # streams may be serviced on alternating ticks (chunks of one stream
     # serialize through the pipeline), so throughput is measured by the
     # actual chunks-processed counter, not tick counts
-    prefeed = 40
+    prefeed = 50
     audio = (rng.standard_normal(chunk_samples * prefeed) * 0.25
              ).astype(np.float32)
     streams = []
@@ -184,32 +194,115 @@ def main():
             "chunks_processed", 0)
 
     def throughput_window():
-        """One 5-s saturated window -> (streams_rtf1, round_seconds)."""
-        for s in streams:                 # top the buffers back up
-            if s.buffer.size < chunk_samples * (prefeed - 6):
-                s.accept_waveform(audio)
+        """One health-gated 5-s saturated window.  The window's value is
+        the MEDIAN over 0.5-s sub-intervals: the tunnel stalls
+        transiently under sustained saturation (round 2 recorded
+        3882 -> 239 -> 1987 streams inside one run with healthy RTT at
+        both ends), and a mean over the window measures the outage, not
+        the sustainable rate.  The full interval trace is reported so
+        nothing is hidden."""
+        rtt_pre = link_rtt_ms(n=2)
+
+        def top_up(min_chunks):
+            for s in streams:
+                if s.buffer.size < chunk_samples * min_chunks:
+                    s.accept_waveform(audio)
+
+        top_up(prefeed - 6)
         warm_target = chunks_done() + 3 * SLOTS
         while chunks_done() < warm_target:    # warm the pipeline
             sched.tick()
         c0, t0 = chunks_done(), time.perf_counter()
-        while time.perf_counter() - t0 < 5.0 and \
-                chunks_done() - c0 < (prefeed - 6) * SLOTS:
+        marks = [(t0, c0)]
+        while time.perf_counter() - t0 < 5.0:
             sched.tick()
-        elapsed = time.perf_counter() - t0
-        chunks = chunks_done() - c0
-        return (int(chunks * TICK_SECONDS / elapsed),
-                elapsed / max(1, chunks / SLOTS))
+            now = time.perf_counter()
+            if now - marks[-1][0] >= 0.5:
+                marks.append((now, chunks_done()))
+                top_up(12)            # never let the window run dry
+        now = time.perf_counter()
+        if now - marks[-1][0] > 0.1:
+            marks.append((now, chunks_done()))
+        rtt_post = link_rtt_ms(n=2)
+        elapsed = now - t0
+        intervals = [
+            (c2 - c1) * TICK_SECONDS / (t2 - t1)
+            for (t1, c1), (t2, c2) in zip(marks, marks[1:])]
+        streams_med = int(np.median(intervals)) if intervals else 0
+        # dispatch-health: the 0.5-s marks must have kept pace with the
+        # wall clock — a single tick() blocking for seconds (tunnel stall
+        # mid-window, RTT healthy again at both probes) starves the marks
+        # and the "window" measured an outage, not the framework
+        # (-3: a single slow final tick can eat a couple of marks in an
+        # otherwise healthy window; a real mid-window stall leaves ~3)
+        kept_pace = len(intervals) >= max(3, int(elapsed / 0.5) - 3)
+        return {
+            "streams": streams_med,
+            "round_ms": round(SLOTS * TICK_SECONDS / streams_med * 1e3, 1)
+            if streams_med else 0.0,
+            "intervals_streams": [int(x) for x in intervals],
+            "rtt_ms": [rtt_pre, rtt_post],
+            "healthy": (max(rtt_pre, rtt_post) < RTT_HEALTHY_MS
+                        and streams_med > 0 and kept_pace),
+        }
 
     passes_a = []
     for k in range(PASSES_A):
         passes_a.append(throughput_window())
-        if k + 1 < PASSES_A:
-            wait_link_recovery()
+        wait_link_recovery()
+    extra = 0
+    while sum(w["healthy"] for w in passes_a) < 2 and extra < EXTRA_PASSES:
+        extra += 1
+        wait_link_recovery()
+        passes_a.append(throughput_window())
+        wait_link_recovery()
     sched.drain()
-    streams_rtf1, round_seconds = max(passes_a)
+
+    healthy_a = [w for w in passes_a if w["healthy"]]
+    if healthy_a:
+        streams_rtf1 = int(np.median([w["streams"] for w in healthy_a]))
+        round_ms = float(np.median([w["round_ms"] for w in healthy_a]))
+        headline_mode_a = (f"median of {len(healthy_a)}/{len(passes_a)} "
+                           "RTT-gated windows")
+    else:
+        # no healthy window at all: report the best with a loud flag
+        # rather than pretending the link was fine
+        best = max(passes_a, key=lambda w: w["streams"])
+        streams_rtf1, round_ms = best["streams"], best["round_ms"]
+        headline_mode_a = ("NO window passed the RTT health gate; value "
+                           "is best-of-degraded and NOT comparable")
 
     # ---------------- phase B: paced real-time latency
-    chunk = (rng.standard_normal(chunk_samples) * 0.25).astype(np.float32)
+    # The paced chunk must DECODE: with random VAD weights an arbitrary
+    # noise chunk can read as silence, in which case every slot skips
+    # the decode path forever (fresh slots have no contain_token) and
+    # zero events pair — the window measures nothing.  Probe candidate
+    # chunks against the live gate (the chunks_decoded counter) and pace
+    # with one the VAD passes: sustained active speech, the production
+    # worst case.
+    def find_decoding_chunk():
+        nonlocal streams
+        for s in streams:                  # free the slots for the probe
+            sched.release(s)
+        streams = []
+        cand = None
+        for seed in range(32):
+            g = np.random.default_rng(10_000 + seed)
+            cand = (g.standard_normal(chunk_samples)
+                    * g.uniform(0.1, 0.5)).astype(np.float32)
+            s = sched.admit("probe0")
+            s.accept_waveform(cand)
+            before = sched.timers.snapshot()["counters"].get(
+                "chunks_decoded", 0)
+            sched.drain(max_ticks=8)
+            decoded = sched.timers.snapshot()["counters"].get(
+                "chunks_decoded", 0) - before
+            sched.release(s)
+            if decoded > 0:
+                return cand
+        return cand                        # gated windows will flag it
+
+    chunk = find_decoding_chunk()
 
     def paced_window():
         # fresh streams per window (like real connection churn): a new
@@ -219,6 +312,7 @@ def main():
         # stuck in steady-state silence never re-enters decode — a bench
         # artifact, not a serving behavior.)
         nonlocal streams
+        rtt_pre = link_rtt_ms(n=2)
         for s in streams:
             sched.release(s)
         streams = [sched.admit(f"bench{i}") for i in range(SLOTS)]
@@ -229,6 +323,8 @@ def main():
             for k in range(n_rounds) for i in range(SLOTS))
         ready: list = [deque() for _ in range(SLOTS)]
         latencies = []
+        waits = []          # chunk-ready -> device dispatch
+        services = []       # device dispatch -> event emitted
         ai = 0
         n_events = ticks = 0
         deadline = start + SECONDS_B + 3.0
@@ -248,33 +344,120 @@ def main():
                 for e in events:
                     idx = int(e.stream_id[5:])
                     if ready[idx]:
-                        latencies.append(t_ev - ready[idx].popleft())
+                        t_r = ready[idx].popleft()
+                        latencies.append(t_ev - t_r)
+                        if e.dispatched_at > 0.0:
+                            waits.append(e.dispatched_at - t_r)
+                            services.append(t_ev - e.dispatched_at)
             else:
                 time.sleep(0.001)
+        rtt_post = link_rtt_ms(n=2)
         lat = (np.asarray(latencies) * 1e3 if latencies
                else np.asarray([0.0]))
-        return (round(float(np.percentile(lat, 50)), 2),
-                round(float(np.percentile(lat, 95)), 2),
-                len(latencies), n_events, ticks)
+
+        def p50(xs):
+            return (round(float(np.percentile(np.asarray(xs) * 1e3, 50)),
+                          2) if xs else 0.0)
+
+        return {
+            "p50_ms": round(float(np.percentile(lat, 50)), 2),
+            "p95_ms": round(float(np.percentile(lat, 95)), 2),
+            "samples": len(latencies),
+            "events": n_events,
+            "ticks": ticks,
+            "wait_p50_ms": p50(waits),
+            "service_p50_ms": p50(services),
+            "rtt_ms": [rtt_pre, rtt_post],
+            "healthy": (max(rtt_pre, rtt_post) < RTT_HEALTHY_MS
+                        and len(latencies) > 0),
+        }
 
     wait_link_recovery()
     passes_b = []
     for k in range(PASSES_B):
         passes_b.append(paced_window())
         sched.drain(max_ticks=200)      # flush any deadline-cut backlog
-        if k + 1 < PASSES_B:
-            wait_link_recovery()
-    # one retry if a window produced nothing (harvest blocked past the
-    # deadline on a collapsed link)
-    if not any(p[2] > 0 for p in passes_b):
         wait_link_recovery()
+    extra = 0
+    while sum(w["healthy"] for w in passes_b) < 2 and extra < EXTRA_PASSES:
+        extra += 1
         passes_b.append(paced_window())
         sched.drain(max_ticks=200)
-    # best window among those that actually paired events
-    valid_b = [p for p in passes_b if p[2] > 0]
-    p50_ms, p95_ms, n_lat = (min(valid_b)[:3] if valid_b
-                             else (0.0, 0.0, 0))
-    rtt_after = link_rtt_ms()
+        wait_link_recovery()
+
+    healthy_b = sorted((w for w in passes_b if w["healthy"]),
+                       key=lambda w: w["p50_ms"])
+    if healthy_b:
+        head_b = healthy_b[len(healthy_b) // 2]   # median window by p50
+        headline_mode_b = (f"median of {len(healthy_b)}/{len(passes_b)} "
+                           "RTT-gated paced windows")
+    else:
+        with_samples = [w for w in passes_b if w["samples"] > 0]
+        head_b = (min(with_samples, key=lambda w: w["p50_ms"])
+                  if with_samples else passes_b[0])
+        headline_mode_b = ("NO paced window passed the RTT health gate; "
+                           "values from a degraded-link window")
+
+    # ---------------- phase C: link decomposition
+    # Pure device execution per serving step: chain K dispatches through
+    # the donated state (each step consumes the previous one's output
+    # arrays) and sync ONCE — the tunnel round trip is paid once and
+    # divides away.  Inputs keep every slot active on the decode path
+    # (contain=True), i.e. the most expensive steady state.
+    def measure_device_exec(reps: int = 24):
+        g = sched.groups[0]
+        B = g.max_slots
+        tmpl = g._segment[0]
+        seg = rng.integers(0, 256, size=tmpl.shape,
+                           dtype=np.int32).astype(tmpl.dtype)
+        seg_dev = jnp.asarray(seg)
+        contain = jnp.asarray(np.ones(B, bool))
+        active = jnp.asarray(np.ones(B, bool))
+        false = jnp.asarray(np.zeros(B, bool))
+        out = g._run_step(seg_dev, contain, active, false, false)
+        np.asarray(out.pack)                       # warm + sync
+        rtt = link_rtt_ms(n=4)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = g._run_step(seg_dev, contain, active, false, false)
+        np.asarray(out.pack)                       # single sync
+        total_ms = (time.perf_counter() - t0) * 1e3
+        return round(max(0.0, (total_ms - rtt)) / reps, 2), rtt
+
+    wait_link_recovery()
+    device_exec_ms, rtt_during_c = measure_device_exec()
+    rtt_at_end = link_rtt_ms()
+
+    stage_p50 = {k: v["p50_ms"] for k, v in
+                 sched.timers.snapshot()["stages"].items()}
+
+    # Defensible local-PCIe p50 bound: the measured scheduling wait (a
+    # tunnel-inflated, therefore conservative, number) + one group-step
+    # of pure device execution + the host gather/scatter stage medians +
+    # a 2 ms PCIe transfer allowance for the 2.6 MB mulaw upload and the
+    # ~20 KB result pack.  Every term is measured on this capture except
+    # the allowance.
+    pcie_bound_ms = round(
+        head_b["wait_p50_ms"] + device_exec_ms
+        + stage_p50.get("gather_upload", 0.0)
+        + stage_p50.get("host_scatter", 0.0)
+        + PCIE_LINK_ALLOWANCE_MS, 2)
+    link_decomposition = {
+        "device_exec_ms_per_group_step": device_exec_ms,
+        "device_exec_batch": SLOTS // GROUPS,
+        "rtt_during_exec_probe_ms": rtt_during_c,
+        "paced_wait_p50_ms": head_b["wait_p50_ms"],
+        "paced_service_p50_ms_on_tunnel": head_b["service_p50_ms"],
+        "gather_host_p50_ms": stage_p50.get("gather_upload", 0.0),
+        "scatter_host_p50_ms": stage_p50.get("host_scatter", 0.0),
+        "pcie_link_allowance_ms": PCIE_LINK_ALLOWANCE_MS,
+        "pcie_p50_bound_ms": pcie_bound_ms,
+        "how": "bound = wait_p50 (tunnel-measured, conservative) + "
+               "device_exec (chained-dispatch, link amortized) + host "
+               "gather/scatter p50 + 2 ms PCIe transfer allowance; "
+               "service_p50_on_tunnel - (device_exec + scatter) is the "
+               "tunnel's per-chunk contribution",
+    }
 
     result = {
         "metric": "concurrent_rtf1_streams_per_chip",
@@ -284,32 +467,32 @@ def main():
         "extra": {
             "slots": SLOTS,
             "scheduler_groups": GROUPS,
-            "full_service_round_ms": round(round_seconds * 1e3, 2),
-            "p50_chunk_latency_ms": p50_ms,
-            "p95_chunk_latency_ms": p95_ms,
-            "latency_samples": n_lat,
+            "pipeline_depth": DEPTH,
+            "full_service_round_ms": round_ms,
+            "p50_chunk_latency_ms": head_b["p50_ms"],
+            "p95_chunk_latency_ms": head_b["p95_ms"],
+            "latency_samples": head_b["samples"],
             "latency_mode": "measured under paced RTF=1 load at "
                             f"{SLOTS} streams (chunk-ready -> event); "
-                            f"best of {PASSES_B} windows",
-            "passes": {
-                "throughput_streams": [p[0] for p in passes_a],
-                "throughput_round_ms": [round(p[1] * 1e3, 1)
-                                        for p in passes_a],
-                "paced_p50_p95_samples_events_ticks":
-                    [list(p) for p in passes_b],
-                "note": "headline = best window; the tunnel link swings "
-                        "2.5x between identical runs (BASELINE.md)",
+                            + headline_mode_b,
+            "throughput_mode": headline_mode_a,
+            "windows": {
+                "throughput": passes_a,
+                "paced": passes_b,
+                "gate": f"window counts iff RTT probes before AND after "
+                        f"are < {RTT_HEALTHY_MS} ms (healthy tunnel is "
+                        "~25-35 ms; collapsed windows measure the link, "
+                        "not the framework)",
             },
-            "link_rtt_ms": {"before": rtt_before, "after": rtt_after},
+            "link_decomposition": link_decomposition,
+            "link_rtt_ms": {"start": rtt_at_start, "end": rtt_at_end},
             "compile_s": round(compile_s, 1),
             "tick_budget_ms": TICK_SECONDS * 1e3,
             "dtype": "bfloat16",
             "vocab": len(vocab),
             "includes": "device step + host transfers + stream state "
                         "machines (full grouped scheduler)",
-            "stage_p50_ms": {
-                k: v["p50_ms"] for k, v in
-                sched.timers.snapshot()["stages"].items()},
+            "stage_p50_ms": stage_p50,
         },
     }
     print(json.dumps(result))
