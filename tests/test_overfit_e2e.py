@@ -619,3 +619,148 @@ def test_golden_survives_f16_emission_roundtrip(trained):
     lp16 = lp.astype(np.float16).astype(np.float32)
     text, _ = greedy_search_full(lp16, VOCAB)
     assert text.strip() == golden, (golden, text)
+
+
+# ---------------------------------------------------- trained-VAD golden loop
+
+@pytest.fixture(scope="module")
+def trained_vad(trained):
+    """Train the Silero-shaped VAD (train/vad.py) on the tone corpus's
+    energy labels, at the exact serving decision geometry: one wave per
+    scheduler chunk (0.2 s ring-buffer context + 0.64 s segment), window
+    labels aligned with silero_chunk_probs' 512-sample windows.
+
+    Acceptance-driven like the AM fixture: a seed only returns once the
+    CHUNK-level speech decisions (any window > 0.5 — exactly the serving
+    gate, models/serving.py _vad_stage) match the energy labels on every
+    training wave; otherwise the next seed trains."""
+    import jax.numpy as jnp
+    from asr_streaming_tpu.models.vad import silero_chunk_probs
+    from asr_streaming_tpu.train.vad import (
+        VadTrainConfig, train_vad, window_labels,
+    )
+
+    cfg, _params, _, _golden = trained
+    seg, buf = cfg.audio.segment_length, cfg.audio.buffer_length
+    T = buf + seg
+
+    def serving_slices(audio: np.ndarray) -> list:
+        """The waves the serving VAD actually sees for this stream."""
+        n_chunks = len(audio) // seg
+        out = []
+        padded = np.concatenate([np.zeros(buf, np.float32), audio])
+        for k in range(n_chunks):
+            out.append(padded[k * seg:k * seg + T])
+        return out
+
+    waves = []
+    lead = buf / SR
+    for s in TRAIN_SENTENCES:
+        for off in (0.0, lead, 0.64):      # incl. a one-chunk lead
+            waves.extend(serving_slices(
+                _sentence_audio(s, total=3.84, lead=off)))
+    waves.append(np.zeros(T, np.float32))  # pure silence
+    waves = np.stack(waves)
+    labels = window_labels(waves, VadTrainConfig().silero)
+    assert labels.any() and not labels.all()
+
+    vcfg = VadTrainConfig(base_lr=3e-3)
+    for seed in (0, 1, 2):
+        params, loss = train_vad(waves, labels, vcfg, steps=250, seed=seed)
+        probs = np.asarray(silero_chunk_probs(params, vcfg.silero,
+                                              jnp.asarray(waves)))
+        chunk_pred = (probs > 0.5).any(axis=1)
+        chunk_true = labels.astype(bool).any(axis=1)
+        if (chunk_pred == chunk_true).all():
+            return params, loss
+    raise AssertionError(
+        f"VAD failed to learn chunk decisions (bce={loss})")
+
+
+def test_trained_vad_window_quality(trained_vad):
+    _, loss = trained_vad
+    assert loss < 0.25, f"VAD under-trained (bce={loss})"
+
+
+def test_trained_vad_gates_silence_and_serves_exact(trained, trained_vad):
+    """The flagship on-device routing claim with LEARNED weights on BOTH
+    sides: decode = active & (contain | (gate & silero)) must (a) skip
+    pure-silence chunks without touching the model — the reference's
+    two-stage VAD skip, streaming_server.py:400-411 / vad_silero.py:
+    104-137 — and (b) still serve the EXACT transcript, with endpointing
+    driven across skipped chunks (stream.skip_silence trailing-silence
+    accounting, reference stream.py:181-187)."""
+    cfg, params, _, golden = trained
+    vad_params, _ = trained_vad
+
+    scfg = ServingConfig(asr=cfg, use_silero=True, use_energy_gate=False)
+    sparams = init_serving_params(jax.random.PRNGKey(1), scfg)
+    sparams["frontend"] = params["frontend"]
+    sparams["encoder"] = params["encoder"]
+    sparams["vad"] = vad_params
+    rules = {"trained": EndpointRule(True, 0.8, 0.0, float("inf"))}
+    sched = Scheduler(sparams, scfg, VOCAB, max_slots=2, rules=rules)
+
+    # one full chunk of leading silence (must be SKIPPED), the sentence,
+    # then trailing silence (first trailing chunk may decode via the ring
+    # buffer's 0.2 s context; the rest must be skipped)
+    seg_sec = cfg.audio.segment_seconds
+    audio = np.concatenate([
+        np.zeros(int(SR * seg_sec), np.float32),
+        _sentence_audio(golden, total=4.48),
+    ])
+    s = sched.admit("t0")
+    s.accept_waveform(audio)
+    s.add_tail_padding()
+    events = sched.drain()
+
+    finals = [e.text.strip() for e in events
+              if e.kind == "final" and e.text.strip()]
+    assert golden in finals, (golden, finals,
+                              [(e.kind, e.text) for e in events])
+
+    counters = sched.timers.snapshot()["counters"]
+    processed = counters["chunks_processed"]
+    decoded = counters.get("chunks_decoded", 0)
+    # the VAD gate must have actually routed: silence chunks skipped
+    # (leading chunk + >= 2 trailing), speech chunks decoded
+    assert 0 < decoded < processed, (decoded, processed)
+    assert processed - decoded >= 3, (decoded, processed)
+
+
+def test_trained_vad_random_weights_control(trained, trained_vad):
+    """Control: the trained-VAD assertion is earned by training.  At the
+    WINDOW level (the unit the gate thresholds), the trained weights
+    must classify the serving waves essentially perfectly while random
+    weights must not — chunk-level ANY can be matched by a lucky random
+    net on a handful of chunks (observed), window-level cannot.
+
+    Note the serving test above is ALSO self-controlling: an
+    always-speech VAD fails its skipped>=3 assertion and an
+    always-silence VAD fails its exact-transcript assertion."""
+    import jax.numpy as jnp
+    from asr_streaming_tpu.models.vad import (
+        init_silero_params, silero_chunk_probs, SileroConfig,
+    )
+    from asr_streaming_tpu.train.vad import window_labels
+
+    cfg, _, _, golden = trained
+    vad_params, _ = trained_vad
+    seg, buf = cfg.audio.segment_length, cfg.audio.buffer_length
+    audio = np.concatenate([
+        np.zeros(seg, np.float32), _sentence_audio(golden, total=4.48)])
+    padded = np.concatenate([np.zeros(buf, np.float32), audio])
+    waves = np.stack([padded[k * seg:k * seg + buf + seg]
+                      for k in range(len(audio) // seg)])
+    labels = window_labels(waves, SileroConfig())
+
+    def window_acc(params):
+        probs = np.asarray(silero_chunk_probs(params, SileroConfig(),
+                                              jnp.asarray(waves)))
+        return float(((probs > 0.5) == labels.astype(bool)).mean())
+
+    acc_trained = window_acc(vad_params)
+    acc_random = max(window_acc(init_silero_params(jax.random.PRNGKey(k)))
+                     for k in (3, 4, 5))
+    assert acc_trained > 0.97, acc_trained
+    assert acc_trained > acc_random + 0.02, (acc_trained, acc_random)
