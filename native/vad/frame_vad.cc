@@ -22,8 +22,10 @@
 //
 // It is not bit-exact with webrtcvad (that is Q-format fixed-point; this
 // is float, and the decision thresholds are recalibrated for the float
-// LLR scale) — decision parity on real audio should be validated with the
-// tools/vad_parity harness when a webrtcvad wheel is available.
+// LLR scale).  Decisions on a deterministic labeled corpus are pinned as
+// a golden fixture by tools/vad_parity.py (tests/test_vad_parity.py),
+// which also measures frame-by-frame agreement against the real
+// webrtcvad wheel wherever one is importable.
 //
 // Build: make -C native/vad -> libframevad.so
 
