@@ -74,6 +74,27 @@ class RNNTConfig:
                 right_context_length=1, max_memory_size=0))
 
 
+def transcriber_segment_frames(audio) -> int:
+    """Emformer segment length (post x4 time-reduction frames) implied by
+    an EN audio geometry: segment_size mel frames per chunk / stride 4.
+    The reference's standard EN geometry (segment_size 16,
+    asr-online.yaml:120-126) gives 4; the reduced variant (segment_size
+    8, asr-online-en.yaml:68-74) gives 2."""
+    return max(1, audio.segment_size // 4)
+
+
+def rnnt_config_for_audio(base: "RNNTConfig", audio) -> "RNNTConfig":
+    """Re-derive the transcriber's streaming segment from the serving
+    audio geometry (keeps model and stream machine in lockstep when a
+    config ships a non-default EN geometry, e.g. server-en-reduced.yaml)."""
+    seg = transcriber_segment_frames(audio)
+    if base.emformer.segment_length == seg:
+        return base
+    return dataclasses.replace(
+        base, emformer=dataclasses.replace(base.emformer,
+                                           segment_length=seg))
+
+
 class PredictorState(NamedTuple):
     h: jax.Array   # [layers, B, H]
     c: jax.Array   # [layers, B, H]

@@ -68,12 +68,18 @@ def build_server(settings, max_slots=None):
     use_pallas = jax.default_backend() == "tpu"
     if settings.language == "en":
         # English path: Emformer-RNNT (reference streaming_server.py:176-181)
-        from asr_streaming_tpu.models.rnnt import RNNTConfig
+        from asr_streaming_tpu.models.rnnt import (
+            RNNTConfig, rnnt_config_for_audio,
+        )
         from asr_streaming_tpu.models.emformer import EmformerConfig
         rnnt_cfg = RNNTConfig(emformer=dataclasses.replace(
             RNNTConfig().emformer, compute_dtype=dtype,
             use_pallas_stack=use_pallas,
             quant=settings.quant if use_pallas else "none"))
+        # the transcriber's streaming segment follows the audio geometry
+        # (reduced EN variant: segment_size 8 -> 2 post-reduction frames,
+        # reference asr-online-en.yaml:68-74)
+        rnnt_cfg = rnnt_config_for_audio(rnnt_cfg, settings.audio)
         asr_cfg = dataclasses.replace(ASRConfig.vietnamese(dtype),
                                       audio=settings.audio)
         cfg = ServingConfig(asr=asr_cfg, model_kind="rnnt", rnnt=rnnt_cfg,

@@ -85,3 +85,10 @@ VI_AUDIO = AudioConfig(sample_rate=16000, hop_seconds=0.01, segment_size=64,
                        context_size=16, bias=4, framerate=4)
 EN_AUDIO = AudioConfig(sample_rate=16000, hop_seconds=0.01, segment_size=16,
                        context_size=4, bias=0, framerate=1)
+# The reference's second EN geometry — 0.08 s segments ("Reduced from
+# 16", asr-online-en.yaml:68-74): halves per-chunk latency at double the
+# tick rate.  Serving pairs it with a transcriber whose Emformer segment
+# is 2 post-reduction frames (models/rnnt.py transcriber_segment_frames).
+EN_AUDIO_REDUCED = AudioConfig(sample_rate=16000, hop_seconds=0.01,
+                               segment_size=8, context_size=4, bias=0,
+                               framerate=1)
