@@ -90,6 +90,10 @@ class EmformerConfig:
                                     # 64=21.2ms, 128+=VMEM OOM >100MB)
     pallas_stack_tile: int = 32     # megakernel tile (v5e @512 slots:
                                     # 32=13.0ms, 64=14.5ms; 128 OOMs VMEM)
+    # FFN hidden-dim slices inside the megakernel: >1 splits the serial
+    # MXU->VPU->MXU FFN chain into independent slices Mosaic can overlap
+    # (slice s's matmul with slice s-1's activation).  v5e sweep below.
+    pallas_ffn_slices: int = 1
     # Unroll factor for the scan over layers.  The carried K/V state is
     # large; unrolling lets XLA overlap the per-layer state slicing with
     # compute.  Measured on v5e with honest chained-step timing (state fed
@@ -412,7 +416,11 @@ def emformer_stream_step(
             cdt_name=jnp.dtype(cfg.compute_dtype).name,
             tile=cfg.pallas_stack_tile,
             interpret=jax.default_backend() != "tpu",
-            quant=cfg.quant == "int8")
+            # "int8": all five matmuls W8A8; "int8_ffn": FFN only (the
+            # ablated bottleneck) — measured sweeps in the config note
+            quant=cfg.quant if cfg.quant in ("int8", "int8_ffn")
+            else False,
+            ffn_slices=cfg.pallas_ffn_slices)
         new_length = length + jnp.int32(U)
         if advance is not None:
             new_length = jnp.where(advance, new_length, length)

@@ -61,12 +61,23 @@ def _qdot(x2d, w8, wscale):
     return acc.astype(jnp.float32) * s * wscale
 
 
+def _kernel_quant_names(quant) -> tuple:
+    """Normalize a quant spec: False/"none" -> (); True/"int8" -> all five
+    projection/FFN matmuls; "int8_ffn" -> the two FFN matmuls only (the
+    ablated bottleneck — see NOTES_r2/r3 for the measured trade)."""
+    if quant in (True, "int8"):
+        return _QUANTIZED
+    if quant == "int8_ffn":
+        return ("ffw1", "ffw2")
+    return ()
+
+
 def _layer_math(
     utt, rc, mem_row, mem_state_in, lc_k_in, lc_v_in,
     length, reset2, advance2, w,
     *, U: int, R: int, M: int, Lc: int, H: int, use_mem: bool,
     tanh_on_mem: bool, neg_inf: float, activation: str, cdt,
-    state_dtype, quant: bool = False,
+    state_dtype, quant_names: tuple = (), ffn_slices: int = 1,
 ):
     """One Emformer layer step on VMEM-resident arrays.
 
@@ -107,7 +118,7 @@ def _layer_math(
     # (2x bf16 peak on v5e), f32 dequant.  LN/softmax/attention-core/
     # state math keep the bf16/f32 pipeline unchanged.
     def _mm(x2d, name):
-        if quant:
+        if name in quant_names:
             return _qdot(x2d.astype(jnp.float32), w[name],
                          w[name + "_s"]).astype(cdt)
         return jnp.dot(x2d.astype(cdt), w[name],
@@ -191,9 +202,33 @@ def _layer_math(
     act = {"relu": jax.nn.relu, "gelu": jax.nn.gelu,
            "silu": jax.nn.silu}[activation]
     T = R + U
-    h1 = act(_mm(ff.reshape(TB * T, D), "ffw1") + w["ffb1"].astype(cdt))
-    h2 = (_mm(h1, "ffw2")
-          + w["ffb2"].astype(cdt)).reshape(TB, T, D)
+    F = w["ffw1"].shape[-1]
+    if ffn_slices > 1 and "ffw1" not in quant_names \
+            and F % ffn_slices == 0:
+        # Hidden-dim slicing: the plain FFN is a serial
+        # MXU(ff@W1) -> VPU(act) -> MXU(h1@W2) chain — the MXU idles
+        # through the activation.  S independent slices let Mosaic's
+        # scheduler overlap slice s's first matmul with slice s-1's
+        # activation (f32 partial-sum accumulate; bias added once).
+        fs = F // ffn_slices
+        ff2d = ff.reshape(TB * T, D).astype(cdt)
+        acc = None
+        for s in range(ffn_slices):
+            w1s = w["ffw1"][:, s * fs:(s + 1) * fs]
+            b1s = w["ffb1"][..., s * fs:(s + 1) * fs]
+            h1s = act(jnp.dot(ff2d, w1s,
+                              preferred_element_type=jnp.float32
+                              ).astype(cdt) + b1s.astype(cdt))
+            part = jnp.dot(h1s, w["ffw2"][s * fs:(s + 1) * fs],
+                           preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        h2 = (acc + w["ffb2"].astype(jnp.float32)).astype(cdt).reshape(
+            TB, T, D)
+    else:
+        h1 = act(_mm(ff.reshape(TB * T, D), "ffw1")
+                 + w["ffb1"].astype(cdt))
+        h2 = (_mm(h1, "ffw2")
+              + w["ffb2"].astype(cdt)).reshape(TB, T, D)
     result = _ln(residual + h2.astype(jnp.float32),
                  w["lnout_s"].astype(jnp.float32),
                  w["lnout_b"].astype(jnp.float32))
@@ -232,14 +267,14 @@ def _layer_kernel(
     tanh_on_mem: bool, neg_inf: float, activation: str, cdt,
     quant: bool = False,
 ):
-    n_w = len(_WNAMES) + (5 if quant else 0)
+    quant_names = _kernel_quant_names(quant)
+    n_w = len(_WNAMES) + len(quant_names)
     w_refs = rest[:n_w]
     (out_utt_ref, out_rc_ref, out_mem_row_ref, out_mem_state_ref,
      out_lc_k_ref, out_lc_v_ref) = rest[n_w:]
     w = {name: ref[...] for name, ref in zip(_WNAMES, w_refs)}
-    if quant:
-        for name, ref in zip(_QNAMES, w_refs[len(_WNAMES):]):
-            w[name] = ref[...]
+    for name, ref in zip(quant_names, w_refs[len(_WNAMES):]):
+        w[name + "_s"] = ref[...]
     (new_utt, new_rc, new_mem_row, new_mem_state, new_lc_k,
      new_lc_v) = _layer_math(
         utt_ref[...].astype(jnp.float32), rc_ref[...].astype(jnp.float32),
@@ -248,7 +283,7 @@ def _layer_kernel(
         len_ref[...], reset_ref[...], advance_ref[...], w,
         U=U, R=R, M=M, Lc=Lc, H=H, use_mem=use_mem,
         tanh_on_mem=tanh_on_mem, neg_inf=neg_inf, activation=activation,
-        cdt=cdt, state_dtype=out_lc_k_ref.dtype, quant=quant)
+        cdt=cdt, state_dtype=out_lc_k_ref.dtype, quant_names=quant_names)
     out_utt_ref[...] = new_utt
     out_rc_ref[...] = new_rc
     if use_mem:
@@ -418,9 +453,10 @@ def _stack_kernel(
     *rest,
     U: int, R: int, M: int, Lc: int, H: int, TB: int, use_mem: bool,
     tanh_on_mem: bool, neg_inf: float, activation: str, cdt,
-    quant: bool = False,
+    quant: bool = False, ffn_slices: int = 1,
 ):
-    n_w = len(_WNAMES) + (5 if quant else 0)
+    quant_names = _kernel_quant_names(quant)
+    n_w = len(_WNAMES) + len(quant_names)
     w_refs = rest[:n_w]
     (y_ref, out_mem_ref, out_lc_k_ref, out_lc_v_ref,
      utt_s, rc_s, memrow_s) = rest[n_w:]
@@ -442,9 +478,8 @@ def _stack_kernel(
     # every stacked weight block has a leading layer dim of 1; vectors
     # arrive as [1, 1, N] blocks -> [1, N] (the helper's convention)
     w = {name: ref[0] for name, ref in zip(_WNAMES, w_refs)}
-    if quant:
-        for name, ref in zip(_QNAMES, w_refs[len(_WNAMES):]):
-            w[name] = ref[0]
+    for name, ref in zip(quant_names, w_refs[len(_WNAMES):]):
+        w[name + "_s"] = ref[0]
 
     (new_utt, new_rc, new_mem_row, new_mem_state, new_lc_k,
      new_lc_v) = _layer_math(
@@ -453,7 +488,8 @@ def _stack_kernel(
         len_ref[...], reset_ref[...], advance_ref[...], w,
         U=U, R=R, M=M, Lc=Lc, H=H, use_mem=use_mem,
         tanh_on_mem=tanh_on_mem, neg_inf=neg_inf, activation=activation,
-        cdt=cdt, state_dtype=out_lc_k_ref.dtype, quant=quant)
+        cdt=cdt, state_dtype=out_lc_k_ref.dtype, quant_names=quant_names,
+        ffn_slices=ffn_slices)
 
     utt_s[ts] = new_utt
     rc_s[ts] = new_rc
@@ -469,7 +505,8 @@ def _stack_kernel(
 @functools.partial(
     jax.jit, static_argnames=("U", "R", "M", "Lc", "H", "use_mem",
                               "tanh_on_mem", "neg_inf", "activation",
-                              "cdt_name", "tile", "interpret", "quant"))
+                              "cdt_name", "tile", "interpret", "quant",
+                              "ffn_slices"))
 def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
                          lc_k: jax.Array, lc_v: jax.Array,
                          length: jax.Array, reset=None, advance=None, *,
@@ -477,7 +514,7 @@ def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
                          use_mem: bool, tanh_on_mem: bool, neg_inf: float,
                          activation: str, cdt_name: str = "bfloat16",
                          tile: int = 64, interpret: bool = False,
-                         quant: bool = False):
+                         quant: bool = False, ffn_slices: int = 1):
     """All-layer streaming Emformer step as one Pallas kernel.
 
     params: stacked layer params ([L, ...] leaves, as init_emformer_params
@@ -534,18 +571,24 @@ def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
         _, s = _quantize_weight(params[name], axis=-2)
         return s                                     # [L, 1, N] f32
 
-    big = q8 if quant else cast
+    quant_names = _kernel_quant_names(quant)
+    # kernel weight name <-> stacked param name ("wq" <-> "w_q" etc.)
+    pname = {"wq": "w_q", "wkv": "w_kv", "wout": "w_out",
+             "ffw1": "ff_w1", "ffw2": "ff_w2"}
+
+    def big(kname):
+        n = pname[kname]
+        return q8(n) if kname in quant_names else cast(n)
+
     weights = [
-        big("w_q"), cast("b_q"), big("w_kv"), cast("b_kv"),
-        big("w_out"), cast("b_out"),
+        big("wq"), cast("b_q"), big("wkv"), cast("b_kv"),
+        big("wout"), cast("b_out"),
         f32("ln_in_scale"), f32("ln_in_bias"),
         f32("ff_ln_scale"), f32("ff_ln_bias"),
-        big("ff_w1"), cast("ff_b1"), big("ff_w2"), cast("ff_b2"),
+        big("ffw1"), cast("ff_b1"), big("ffw2"), cast("ff_b2"),
         f32("ln_out_scale"), f32("ln_out_bias"),
     ]
-    if quant:
-        weights += [qs("w_q"), qs("w_kv"), qs("w_out"),
-                    qs("ff_w1"), qs("ff_w2")]
+    weights += [qs(pname[k]) for k in quant_names]
 
     def weight_spec(shape):
         # one layer's block: [1, ...], indexed by the layer grid dim
@@ -583,7 +626,7 @@ def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
     kernel = functools.partial(
         _stack_kernel, U=U, R=R, M=M, Lc=Lc, H=H, TB=TB, use_mem=use_mem,
         tanh_on_mem=tanh_on_mem, neg_inf=neg_inf, activation=activation,
-        cdt=cdt, quant=quant)
+        cdt=cdt, quant=quant, ffn_slices=ffn_slices)
 
     outs = pl.pallas_call(
         kernel,

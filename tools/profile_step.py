@@ -69,11 +69,21 @@ def main():
 
     for variant in args.variants.split(","):
         if variant.startswith("stack"):
-            tile = int(variant.split(":")[1]) if ":" in variant else 64
+            parts = variant.split(":")
+            quant = "none"
+            if parts[0] == "stackq8":
+                quant = "int8"
+            elif parts[0] == "stackffn8":
+                quant = "int8_ffn"
+            tile = int(parts[1]) if len(parts) > 1 else 64
+            slices = int(parts[2]) if len(parts) > 2 else 1
             cfg = EmformerConfig(compute_dtype=jnp.bfloat16,
                                  use_pallas_stack=True,
-                                 pallas_stack_tile=tile)
-            label = f"stack tile={tile}"
+                                 pallas_stack_tile=tile,
+                                 pallas_ffn_slices=slices,
+                                 quant=quant)
+            label = (f"stack tile={tile} ffn_slices={slices} "
+                     f"quant={quant}")
         elif variant.startswith("pallas"):
             tile = int(variant.split(":")[1]) if ":" in variant else 64
             cfg = EmformerConfig(compute_dtype=jnp.bfloat16,
