@@ -764,3 +764,33 @@ def test_trained_vad_random_weights_control(trained, trained_vad):
                      for k in (3, 4, 5))
     assert acc_trained > 0.97, acc_trained
     assert acc_trained > acc_random + 0.02, (acc_trained, acc_random)
+
+
+def test_int8_ffn_quant_preserves_golden_transcript(trained):
+    """WER impact of the opt-in quantized kernels on learned weights:
+    serving the overfit model with quant=int8_ffn (W8A8 on the FFN
+    matmuls — the variant that measured fastest on v5e) must still emit
+    the exact transcript.  Runs the Pallas megakernel in interpret mode
+    off-TPU, so the quantization arithmetic itself is what's under test."""
+    import dataclasses
+
+    cfg, params, _, golden = trained
+    enc = dataclasses.replace(
+        cfg.encoder, emformer=dataclasses.replace(
+            cfg.encoder.emformer, use_pallas_stack=True,
+            pallas_stack_tile=2, quant="int8_ffn"))
+    qcfg = dataclasses.replace(cfg, encoder=enc)
+    scfg = ServingConfig(asr=qcfg, use_silero=False, use_energy_gate=False,
+                         energy_threshold_db=-200.0)
+    sparams = init_serving_params(jax.random.PRNGKey(1), scfg)
+    sparams["frontend"] = params["frontend"]
+    sparams["encoder"] = params["encoder"]
+    rules = {"trained": EndpointRule(True, 0.8, 0.0, float("inf"))}
+    sched = Scheduler(sparams, scfg, VOCAB, max_slots=2, rules=rules)
+    s = sched.admit("q0")
+    s.accept_waveform(_sentence_audio(golden, total=3.84))
+    s.add_tail_padding()
+    events = sched.drain()
+    finals = [e.text.strip() for e in events
+              if e.kind == "final" and e.text.strip()]
+    assert golden in finals, (golden, finals)

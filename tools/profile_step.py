@@ -51,6 +51,9 @@ def timeit_chained(step, x, state0, n=20, warmup=3, _discard=[True]):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--slots", type=int, default=512)
+    parser.add_argument("--d-model", type=int, default=512,
+                        help="sweep width (heads/ffn scale with it); the "
+                             "int8 trade flips MXU-ward as this grows")
     parser.add_argument("--variants", type=str, default="2,20")
     args = parser.parse_args()
 
@@ -81,7 +84,10 @@ def main():
                                  use_pallas_stack=True,
                                  pallas_stack_tile=tile,
                                  pallas_ffn_slices=slices,
-                                 quant=quant)
+                                 quant=quant,
+                                 d_model=args.d_model,
+                                 num_heads=args.d_model // 64,
+                                 ffn_dim=4 * args.d_model)
             label = (f"stack tile={tile} ffn_slices={slices} "
                      f"quant={quant}")
         elif variant.startswith("pallas"):
