@@ -91,12 +91,20 @@ def _serving_config() -> ServingConfig:
                          energy_threshold_db=-200.0)
 
 
-def _serve_events(rnnt_params: dict, sentence: str, **sched_kw):
-    """Run one stream through a fresh EN scheduler; return its events."""
+def _serve_events(rnnt_params: dict, sentence: str, vad_params=None,
+                  **sched_kw):
+    """Run one stream through a fresh EN scheduler; return its events.
+    vad_params: trained Silero-shaped weights — serve with the real
+    two-stage gate (use_silero=True), i.e. silence chunks are SKIPPED
+    like production (reference streaming_server.py:400-411)."""
     scfg = _serving_config()
+    if vad_params is not None:
+        scfg = dataclasses.replace(scfg, use_silero=True)
     sparams = init_serving_params(jax.random.PRNGKey(1), scfg)
     for k, v in rnnt_params.items():
         sparams[k] = v
+    if vad_params is not None:
+        sparams["vad"] = vad_params
     # 0.8 s of trailing blanks ends the segment: above the intra-sentence
     # gaps, well below the ~1.5 s of silence after the sentence
     rules = {"trained": EndpointRule(True, 0.8, 0.0, float("inf"))}
@@ -112,8 +120,65 @@ def _finals(events):
     return [e.text.strip() for e in events if e.is_final]
 
 
+def _serve_two_segments(rnnt_params: dict, sentence: str):
+    """Two utterances in one stream (the two-segment test's scenario);
+    returns the nonempty final transcripts."""
+    scfg = _serving_config()
+    sparams = init_serving_params(jax.random.PRNGKey(1), scfg)
+    for k, v in rnnt_params.items():
+        sparams[k] = v
+    rules = {"trained": EndpointRule(True, 0.8, 0.0, float("inf"))}
+    sched = Scheduler(sparams, scfg, PIECES, max_slots=2,
+                      language="en", rules=rules)
+    one = _sentence_audio(sentence, total=3.84)
+    st = sched.admit("t0")
+    st.accept_waveform(np.concatenate([one, one]))
+    st.add_tail_padding()
+    return [e.text.strip() for e in sched.drain()
+            if e.is_final and e.text.strip()]
+
+
 @pytest.fixture(scope="module")
-def trained():
+def trained_vad_en():
+    """Train the Silero-shaped VAD on THIS corpus's serving slices
+    (energy self-labels) until chunk-level decisions are exact — the
+    same acceptance-driven recipe as the vi loop's trained_vad
+    (tests/test_overfit_e2e.py)."""
+    import jax.numpy as jnp
+    from asr_streaming_tpu.models.vad import silero_chunk_probs
+    from asr_streaming_tpu.train.vad import (
+        VadTrainConfig, train_vad, window_labels,
+    )
+
+    seg = EN_AUDIO.segment_length
+    buf = EN_AUDIO.buffer_length
+    T = buf + seg
+
+    waves = []
+    for s in TRAIN_SENTENCES:
+        for off in (0.0, 0.48):
+            audio = _sentence_audio(s, total=3.84, lead=off)
+            padded = np.concatenate([np.zeros(buf, np.float32), audio])
+            waves.extend(padded[k * seg:k * seg + T]
+                         for k in range(len(audio) // seg))
+    waves.append(np.zeros(T, np.float32))
+    waves = np.stack(waves)
+    labels = window_labels(waves, VadTrainConfig().silero)
+    assert labels.any() and not labels.all()
+    vcfg = VadTrainConfig(base_lr=3e-3)
+    for seed in (0, 1, 2):
+        params, loss = train_vad(waves, labels, vcfg, steps=250,
+                                 seed=seed)
+        probs = np.asarray(silero_chunk_probs(params, vcfg.silero,
+                                              jnp.asarray(waves)))
+        if ((probs > 0.5).any(axis=1)
+                == labels.astype(bool).any(axis=1)).all():
+            return params
+    raise AssertionError(f"EN VAD failed to learn (bce={loss})")
+
+
+@pytest.fixture(scope="module")
+def trained(trained_vad_en):
     """Overfit the tiny RNNT on SERVING-featurized audio; returns
     (params, loss, served, beam_golden) where served maps every candidate
     sentence to its final transcripts from the real scheduler and
@@ -171,11 +236,23 @@ def trained():
         beam_golden = next(
             (s for s in exact
              if _finals(_serve_events(params, s, en_beam_partials=True,
-                                      en_beam_width=4)) == [s]),
+                                      en_beam_width=4,
+                                      vad_params=trained_vad_en)) == [s]),
             None)
-        if exact and beam_golden is not None:
+        # Two-segment acceptance: the consumer tests anchor on the FIRST
+        # exact candidate, and a marginally-fit model can serve one
+        # segment exactly yet drop the post-reset second one (a full-
+        # suite run caught exactly this on weights whose single-segment
+        # acceptance passed — ambient cross-module perturbation moved
+        # the toy training trajectory).  Train-until-earned covers every
+        # consumer or the seed is rejected.
+        first = next((s for s in GOLDEN_CANDIDATES if served[s] == [s]),
+                     None)
+        two_ok = (first is not None
+                  and _serve_two_segments(params, first) == [first, first])
+        if exact and beam_golden is not None and two_ok:
             return params, float(loss), served, beam_golden
-    raise AssertionError(f"no candidate served exactly in both modes: "
+    raise AssertionError(f"no candidate served exactly in every mode: "
                          f"{served}")
 
 
@@ -216,18 +293,24 @@ def test_checkpoint_then_serve_exact_transcript(trained, tmp_path):
         (golden, nonempty)
 
 
-def test_beam_partials_mode_serves_golden(trained):
+def test_beam_partials_mode_serves_golden(trained, trained_vad_en):
     """Opt-in carried-hypothesis beam partials (the reference's per-chunk
     RNNTBeamSearch.infer pattern) must agree with the greedy path on an
     overfit model: same exact final transcript for the golden sentence.
     This is the only beam-partials test that runs with LEARNED weights —
     the mode's other tests drive hypothesis plumbing with random params.
-    The fixture guarantees beam_golden round-trips this mode (acceptance
-    includes it: an underfit beam can hallucinate extra finals on the
-    decoded post-final silence chunks where the greedy stays blank)."""
+    Serves with the TRAINED VAD gating silence, like production
+    (reference's beam only ever sees gated speech,
+    streaming_server.py:400-411 before :445): ungated, a marginally-fit
+    joiner can keep a non-blank path alive on the post-final silence
+    chunks and hallucinate a duplicate final — observed flaking under
+    cross-module perturbation; silence never reaches the beam in any
+    real deployment, so the gated serve is both faithful and stable.
+    The fixture's acceptance runs this exact gated call."""
     params, _, _, beam_golden = trained
     events = _serve_events(params, beam_golden,
-                           en_beam_partials=True, en_beam_width=4)
+                           en_beam_partials=True, en_beam_width=4,
+                           vad_params=trained_vad_en)
     assert _finals(events) == [beam_golden], \
         (beam_golden, _finals(events),
          [e.text for e in events if not e.is_final])

@@ -14,6 +14,19 @@ Method: EN scheduler at production model size (vocab 4097, encoding
 on vs off; report per-chunk host-scatter and full-tick medians and the
 implied RTF<=1 stream ceiling against the 0.16 s EN tick budget.
 
+MEASURED (v5e via the axon tunnel, 8 slots, beam 10): beam_off tick
+33 ms (ceiling ~38 streams at this tiny batch; 512-slot batched greedy
+measured 6.8 ms in BASELINE.md); beam_on tick ~69.5 s — ~8.7 s PER
+STREAM PER CHUNK.  The cost is the LINK, not the beam math: every
+hypothesis expansion calls the jitted predictor/joiner once (~30 ms
+RTT each) x beam 10 x up to 4+1 symbols x 4 frames.  On a local-PCIe
+host (~100 us dispatch) the same call count is ~50-200 ms/stream/chunk
+— usable for a handful of parity streams, never for fleet serving.
+Config guidance: en_beam_partials is a PARITY mode; keep max streams
+<= 4 per process on PCIe hosts, 0 on tunnel-attached dev boxes, and
+serve throughput with the default batched device greedy + beam-rescored
+finals.
+
 Usage: python tools/ablate_en_beam.py [--slots 8,16,32] [--beam 10]
 """
 
@@ -91,7 +104,7 @@ def measure(slots: int, beam_width: int, beam: bool, ticks: int = 30):
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--slots", default="8,16,32")
+    ap.add_argument("--slots", default="8")
     ap.add_argument("--beam", type=int, default=10)
     ap.add_argument("--ticks", type=int, default=30)
     args = ap.parse_args()
@@ -101,7 +114,11 @@ def main() -> None:
 
     for slots in (int(s) for s in args.slots.split(",")):
         off = measure(slots, args.beam, beam=False, ticks=args.ticks)
-        on = measure(slots, args.beam, beam=True, ticks=args.ticks)
+        # beam-on ticks are SECONDS each on a tunnel-attached host (the
+        # host beam pays one link RTT per hypothesis expansion) — a few
+        # ticks suffice for the per-stream overhead estimate
+        on = measure(slots, args.beam, beam=True,
+                     ticks=min(args.ticks, 4))
         overhead = (on["tick_ms"] - off["tick_ms"]) / slots
         print(f"slots={slots:4d} beam_off: tick {off['tick_ms']:7.2f} ms "
               f"(ceiling ~{off['rtf1_stream_ceiling']} streams)")
