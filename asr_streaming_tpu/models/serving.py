@@ -70,6 +70,14 @@ class ServingConfig:
     # "mulaw" (G.711 mu-law, 8-bit) halves the upload bytes — the serving
     # bottleneck on thin host links — at telephony-grade fidelity.
     upload_encoding: str = "int16"
+    # Path to the reference EN pipeline's global-stats JSON
+    # (``{model_dir}/emformer-rnnt/global_stats_rnnt.json``, reference
+    # recognition.py:107 _GlobalStatsNormalization): when set, the
+    # en_frontend params carry mean/invstddev and the serving featurizer
+    # applies (x - mean) * invstddev after the piecewise-linear-log —
+    # required for real reference RNNT checkpoints to see the feature
+    # distribution they were trained on.
+    en_global_stats: Optional[str] = None
 
 
 # Host-pack layout: one [B, 5 + n] float32 array per tick (a single
@@ -93,11 +101,17 @@ def init_serving_params(key: jax.Array, cfg: ServingConfig) -> dict:
     k1, k2 = jax.random.split(key)
     if cfg.model_kind == "rnnt":
         assert cfg.rnnt is not None
+        en_frontend = make_mel_params(MelConfig.for_english()
+                                      if cfg.rnnt.n_mels == 80 else
+                                      _tiny_en_mel(cfg.rnnt.n_mels))
+        if cfg.en_global_stats:
+            from asr_streaming_tpu.ops.frontend import load_global_stats
+            mean, invstd = load_global_stats(cfg.en_global_stats)
+            en_frontend["mean"] = mean
+            en_frontend["invstddev"] = invstd
         return {
             **init_rnnt_params(k1, cfg.rnnt),
-            "en_frontend": make_mel_params(MelConfig.for_english()
-                                           if cfg.rnnt.n_mels == 80 else
-                                           _tiny_en_mel(cfg.rnnt.n_mels)),
+            "en_frontend": en_frontend,
             "vad": init_silero_params(k2, cfg.silero),
         }
     return {
@@ -377,7 +391,11 @@ def serving_step_rnnt(params: dict, cfg: ServingConfig,
 
     mel_cfg = (MelConfig.for_english() if rnnt.n_mels == 80
                else _tiny_en_mel(rnnt.n_mels))
-    feats = log_mel(params["en_frontend"], mel_cfg, wave)
+    # global-stats normalization rides in the en_frontend params when the
+    # reference's global_stats_rnnt.json is configured (en_global_stats)
+    feats = log_mel(params["en_frontend"], mel_cfg, wave,
+                    mean=params["en_frontend"].get("mean"),
+                    invstddev=params["en_frontend"].get("invstddev"))
     # center=True yields one extra frame; trim to a multiple of the
     # reduction stride so the chunk reduces to segment + rc frames.
     em = rnnt.emformer

@@ -84,7 +84,8 @@ def build_server(settings, max_slots=None):
                                       audio=settings.audio)
         cfg = ServingConfig(asr=asr_cfg, model_kind="rnnt", rnnt=rnnt_cfg,
                             use_silero=settings.use_silero,
-                            upload_encoding=settings.upload_encoding)
+                            upload_encoding=settings.upload_encoding,
+                            en_global_stats=settings.en_global_stats)
     else:
         from asr_streaming_tpu.models.asr import with_pallas_layer
         asr_cfg = dataclasses.replace(
@@ -105,7 +106,11 @@ def build_server(settings, max_slots=None):
 
     params = init_serving_params(jax.random.PRNGKey(0), cfg)
     if settings.checkpoint:
-        params = load_params(settings.checkpoint, like=params)
+        # .npz (framework, possibly partial e.g. bootstrap's am.npz) or a
+        # reference torch checkpoint (.ckpt Lightning vi / .pt RNNT en)
+        # converted on the fly (utils/checkpoint.load_params_auto)
+        from asr_streaming_tpu.utils.checkpoint import load_params_auto
+        params = load_params_auto(settings.checkpoint, like=params)
         logging.info("loaded checkpoint %s", settings.checkpoint)
     else:
         logging.warning("no checkpoint configured — serving random weights")

@@ -11,6 +11,7 @@ path, slots, dtype).
 from __future__ import annotations
 
 import dataclasses
+import logging
 import math
 import os
 from typing import Any, Dict, Optional
@@ -22,6 +23,136 @@ from asr_streaming_tpu.streaming.endpoint import (
     load_endpoint_rules,
 )
 from asr_streaming_tpu.utils.audio import AudioConfig, EN_AUDIO, VI_AUDIO
+
+
+# Top-level keys that identify the reference's own OmegaConf layout
+# (streaming_decoder/config/asr-online{,-en}.yaml): when any is present the
+# nested sections are mapped onto this framework's flat settings so an
+# UNMODIFIED reference config file boots the server (asset paths resolve
+# where the deploy tree exists; missing files warn and degrade, matching
+# the null-key behavior).
+_REFERENCE_MARKERS = ("Acoustic_Model", "Linguistic_Model", "Vad",
+                      "Speaker_Diar", "LM_Endpointing", "EmformerRNNT")
+
+logger = logging.getLogger(__name__)
+
+
+def _existing_path(candidates, key: str) -> Optional[str]:
+    """First existing path among candidates; warn (once, loudly) when the
+    reference config maps an asset this host doesn't have."""
+    candidates = [c for c in candidates if c]
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    if candidates:
+        logger.warning(
+            "reference config maps %s -> %s (not present on this host); "
+            "leaving unset — the server boots degraded (see MIGRATION.md)",
+            key, candidates[0])
+    return None
+
+
+def _apply_reference_layout(s: "ServerSettings", blob: Dict[str, Any],
+                            config_path: Optional[str]) -> None:
+    """Map the reference's nested config sections onto ServerSettings.
+
+    Path-resolution semantics follow the reference exactly:
+      * Acoustic_Model.filepath joins model_dir (recognition.py:147);
+      * EN assets live under dirname(model_dir)/emformer-rnnt/
+        (recognition.py:99-119: emformer_rnnt.pt, spm_bpe_4096.model,
+        global_stats_rnnt.json);
+      * Linguistic_Model lexicon/lm join corpus_dir (recognition.py:238-239);
+      * Vad.Silero.model_path is cwd-relative in the reference — here also
+        tried against the config dir and the deploy root
+        (dirname(dirname(model_dir)));
+      * Speaker_Diar.{model_dir,speaker_wav,threshold}
+        (streaming_server.py:192-196).
+    Vad.Webrtc has no knob here by design: the first-stage gate runs
+    ON DEVICE (energy gate + Silero, models/serving.py); the native GMM
+    frame VAD (models/frame_vad.py) is the host-side parity tool."""
+    # the reference layout cannot express framework serving keys; adopt
+    # the shipped production posture (configs/server-vi.yaml) unless the
+    # file overrides them explicitly
+    if "device_worker" not in blob:
+        s.device_worker = True
+    if "scheduler_groups" not in blob:
+        s.scheduler_groups = 2
+
+    model_dir = blob.get("model_dir")
+    cfg_dir = os.path.dirname(os.path.abspath(config_path)) \
+        if config_path else None
+    deploy_root = os.path.dirname(os.path.dirname(model_dir)) \
+        if model_dir else None
+
+    am = blob.get("Acoustic_Model") or {}
+    if s.language != "en" and not s.checkpoint and am.get("filepath") \
+            and model_dir:
+        s.checkpoint = _existing_path(
+            [os.path.join(model_dir, am["filepath"])], "checkpoint (vi AM)")
+    if s.language == "en" and model_dir:
+        rnnt_dir = os.path.join(os.path.dirname(model_dir), "emformer-rnnt")
+        if not s.checkpoint:
+            s.checkpoint = _existing_path(
+                [os.path.join(rnnt_dir, "emformer_rnnt.pt")],
+                "checkpoint (en RNNT)")
+        if not s.vocab_path:
+            s.vocab_path = _existing_path(
+                [os.path.join(rnnt_dir, "spm_bpe_4096.model")],
+                "vocab_path (en SPM)")
+        if not s.en_global_stats:
+            s.en_global_stats = _existing_path(
+                [os.path.join(rnnt_dir, "global_stats_rnnt.json")],
+                "en_global_stats")
+
+    ling = blob.get("Linguistic_Model") or {}
+    if ling:
+        # first ruleset (the reference instantiates one decoder per key;
+        # GENERAL is the only key its shipped configs define)
+        lm_cfg = next(iter(ling.values()))
+        corpus = blob.get("corpus_dir")
+        if lm_cfg.get("lexicon") and not s.lexicon_path:
+            s.lexicon_path = _existing_path(
+                [os.path.join(corpus, lm_cfg["lexicon"]) if corpus else None,
+                 lm_cfg["lexicon"]], "lexicon_path")
+        if lm_cfg.get("lm") and not s.lm_path:
+            s.lm_path = _existing_path(
+                [os.path.join(corpus, lm_cfg["lm"]) if corpus else None,
+                 lm_cfg["lm"]], "lm_path")
+        for src, dst in (("lm_weight", "lm_weight"),
+                         ("beam_size", "beam_size"),
+                         ("beam_size_token", "beam_size_token"),
+                         ("beam_threshold", "beam_threshold"),
+                         ("word_score", "word_score")):
+            if src in lm_cfg:
+                setattr(s, dst, lm_cfg[src])
+
+    if blob.get("LM_Endpointing") and not s.lm_endpointing_path:
+        s.lm_endpointing_path = _existing_path(
+            [blob["LM_Endpointing"]], "lm_endpointing_path")
+
+    silero = (blob.get("Vad") or {}).get("Silero") or {}
+    if silero.get("model_path") and not s.vad_weights:
+        p = silero["model_path"]
+        s.vad_weights = _existing_path(
+            [p,
+             os.path.join(cfg_dir, p) if cfg_dir else None,
+             os.path.join(deploy_root, p) if deploy_root else None],
+            "vad_weights (silero onnx)")
+        if s.vad_weights:
+            s.use_silero = True
+
+    diar = blob.get("Speaker_Diar") or {}
+    if diar.get("model_dir"):
+        if not s.speaker_weights:
+            s.speaker_weights = _existing_path(
+                [os.path.join(diar["model_dir"], "embedding_model.ckpt")],
+                "speaker_weights (ECAPA)")
+        if diar.get("speaker_wav") and not s.speaker_wav:
+            s.speaker_wav = _existing_path(
+                [os.path.join(diar["model_dir"], diar["speaker_wav"])],
+                "speaker_wav")
+    if "threshold" in diar:
+        s.speaker_threshold = diar["threshold"]
 
 
 @dataclasses.dataclass
@@ -48,6 +179,9 @@ class ServerSettings:
     speaker_threshold: float = 0.45
     speaker_weights: Optional[str] = None  # ECAPA npz (tools/convert_ecapa)
                                            # or raw embedding_model.ckpt
+    en_global_stats: Optional[str] = None  # reference global_stats_rnnt.json
+                                           # (EN feature normalization,
+                                           # recognition.py:107)
     audio: AudioConfig = dataclasses.field(default_factory=lambda: VI_AUDIO)
     endpoint_rules: Dict = dataclasses.field(
         default_factory=lambda: VI_DEFAULT_RULES)
@@ -94,7 +228,7 @@ class ServerSettings:
                     "compute_dtype", "checkpoint", "corpus_dir", "vocab_path",
                     "lexicon_path", "lm_path", "lm_endpointing_path",
                     "vad_weights", "doc_root", "certificate", "speaker_wav",
-                    "speaker_weights",
+                    "speaker_weights", "en_global_stats",
                     "use_silero", "upload_encoding", "quant",
                     "en_beam_partials",
                     "en_beam_width", "scheduler_groups", "data_parallel",
@@ -110,8 +244,14 @@ class ServerSettings:
             s.noise_threshold_db = blob["noise_threshold_db"]
         if "speaker_threshold" in blob:
             s.speaker_threshold = blob["speaker_threshold"]
-        if "audio" in blob:
-            a = blob["audio"]
+        if any(k in blob for k in _REFERENCE_MARKERS):
+            _apply_reference_layout(s, blob, path)
+        a = blob.get("audio")
+        if s.language == "en" and "audio_en" in blob:
+            # the reference keeps BOTH geometries in one file and switches
+            # on LANGUAGE (asr-online.yaml:112-126 audio/audio_en)
+            a = blob["audio_en"]
+        if a:
             s.audio = AudioConfig(
                 sample_rate=a.get("sample_rate", 16000),
                 hop_seconds=a.get("hop_length", 0.01),

@@ -245,8 +245,11 @@ def _worker_main(conn, init: WorkerInit, staging_name: str,
         B = init.max_slots
         params = init_serving_params(jax.random.PRNGKey(init.seed), cfg)
         if init.checkpoint:
-            from asr_streaming_tpu.utils.checkpoint import load_params
-            params = load_params(init.checkpoint, like=params)
+            # npz (possibly partial, e.g. bootstrap's am.npz) or a
+            # reference torch ckpt/pt converted on the fly — same loader
+            # as the in-process server path
+            from asr_streaming_tpu.utils.checkpoint import load_params_auto
+            params = load_params_auto(init.checkpoint, like=params)
         if init.vad_weights:
             if init.vad_weights.endswith(".onnx"):
                 from asr_streaming_tpu.models.vad import (
@@ -262,6 +265,11 @@ def _worker_main(conn, init: WorkerInit, staging_name: str,
                 loaded = load_params(init.vad_weights,
                                      like={"vad": params["vad"]})
                 params["vad"] = loaded["vad"]
+        # loaded checkpoints are HOST numpy arrays; params are explicit
+        # jit args every dispatch, so commit them to device ONCE or every
+        # tick re-uploads all weights through the host link (~10 s/tick
+        # at production scale — round-3 verify-drive finding)
+        params = jax.device_put(params)
 
         state = init_serving_state(cfg, B)
         ctx_arr = init_audio_context(cfg, B)
@@ -667,8 +675,11 @@ def _pipelined_worker_main(conn, init: PipelinedWorkerInit,
         G, B = init.n_groups, init.per_slots
         params = init_serving_params(jax.random.PRNGKey(init.seed), cfg)
         if init.checkpoint:
-            from asr_streaming_tpu.utils.checkpoint import load_params
-            params = load_params(init.checkpoint, like=params)
+            # npz (possibly partial, e.g. bootstrap's am.npz) or a
+            # reference torch ckpt/pt converted on the fly — same loader
+            # as the in-process server path
+            from asr_streaming_tpu.utils.checkpoint import load_params_auto
+            params = load_params_auto(init.checkpoint, like=params)
         if init.vad_weights:
             if init.vad_weights.endswith(".onnx"):
                 from asr_streaming_tpu.models.vad import (
@@ -684,6 +695,11 @@ def _pipelined_worker_main(conn, init: PipelinedWorkerInit,
                 loaded = load_params(init.vad_weights,
                                      like={"vad": params["vad"]})
                 params["vad"] = loaded["vad"]
+        # loaded checkpoints are HOST numpy arrays; params are explicit
+        # jit args every dispatch, so commit them to device ONCE or every
+        # tick re-uploads all weights through the host link (~10 s/tick
+        # at production scale — round-3 verify-drive finding)
+        params = jax.device_put(params)
 
         state = [init_serving_state(cfg, B) for _ in range(G)]
         ctx_arr = [init_audio_context(cfg, B) for _ in range(G)]

@@ -56,6 +56,107 @@ def load_params(path: str, like=None):
     return jax.tree_util.tree_unflatten(flat[1], leaves)
 
 
+def merge_params(like, loaded, path: str = ""):
+    """Overlay a PARTIAL nested dict of arrays onto a template pytree.
+
+    Keys present in `loaded` replace the template's leaves (shape-checked,
+    dtype-cast to the template); keys absent from `loaded` keep the
+    template's values (e.g. a converted reference AM checkpoint carries no
+    VAD/frontend weights — those stay at their initialized values)."""
+    if not isinstance(loaded, dict):
+        arr = np.asarray(loaded)
+        if isinstance(like, dict):
+            raise KeyError(f"checkpoint leaf {path or '<root>'} is a "
+                           "subtree in the params template")
+        assert arr.shape == tuple(like.shape), (path, arr.shape, like.shape)
+        return arr.astype(like.dtype)
+    if not isinstance(like, dict):
+        raise KeyError(f"checkpoint subtree {path or '<root>'} is a leaf "
+                       "in the params template")
+    out = dict(like)
+    for k, v in loaded.items():
+        if k not in like:
+            raise KeyError(f"checkpoint key {path + str(k)!r} not in the "
+                           f"params template (template has "
+                           f"{sorted(like)})")
+        out[k] = merge_params(like[k], v, path + str(k) + SEP)
+    return out
+
+
+def _max_layer_index(keys, pattern: str) -> int:
+    """1 + max integer captured by `pattern` across state-dict keys."""
+    import re
+
+    rx = re.compile(pattern)
+    idx = [int(m.group(1)) for k in keys for m in [rx.search(str(k))] if m]
+    if not idx:
+        raise ValueError(f"no state-dict keys match {pattern!r}")
+    return 1 + max(idx)
+
+
+def load_params_auto(path: str, like):
+    """Load params from the framework .npz OR directly from a reference
+    torch checkpoint, converting on the fly.
+
+    Drop-in migration path: the server's ``checkpoint:`` key accepts
+      * ``.npz``  — framework format (load_params);
+      * ``.ckpt`` — the reference's Vietnamese Lightning checkpoint
+        (``Acoustic_Model.filepath: asr-online.ckpt``, reference
+        lightspeech/models/recognition.py:149-159);
+      * ``.pt``/``.pth`` — the reference's English torchaudio
+        ``emformer_rnnt.pt`` state dict (recognition.py:113).
+    Layer counts are inferred from the state-dict keys, so reduced
+    geometries convert without flags.
+
+    Unlike strict :func:`load_params`, PARTIAL checkpoints merge onto the
+    template: ``tools/bootstrap_assets.py`` writes an ``am.npz`` holding
+    only the converted encoder subtree (no frontend buffers / VAD), and
+    the server's ``checkpoint:`` key must accept it — absent subtrees
+    keep their initialized values, unknown keys still raise."""
+    if not path.endswith((".ckpt", ".pt", ".pth")):
+        return merge_params(like, load_params(path))
+
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    keys = list(sd.keys())
+    if any(str(k).startswith(("transcriber.", "predictor.", "joiner."))
+           for k in keys):
+        # English torchaudio emformer_rnnt_base state dict -> top-level
+        # rnnt params (init_serving_params **-splats them)
+        from asr_streaming_tpu.tools.convert_rnnt_checkpoint import (
+            convert_rnnt_state_dict,
+        )
+        loaded = convert_rnnt_state_dict(
+            sd,
+            num_layers=_max_layer_index(
+                keys, r"transcriber\..*emformer_layers\.(\d+)\."),
+            pred_layers=_max_layer_index(
+                keys, r"predictor\.lstm_layers\.(\d+)\."))
+    else:
+        # Vietnamese Lightning checkpoint: state_dict holds nested
+        # {'encoder': ..., 'decoder': ...} or flat prefixed keys
+        from asr_streaming_tpu.tools.convert_checkpoint import (
+            convert_ctc_state_dict, convert_encoder_state_dict,
+        )
+        if "encoder" in sd and isinstance(sd["encoder"], dict):
+            enc_sd, dec_sd = sd["encoder"], sd["decoder"]
+        else:
+            enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+                      if str(k).startswith("encoder.")}
+            dec_sd = {k[len("decoder."):]: v for k, v in sd.items()
+                      if str(k).startswith("decoder.")}
+        loaded = {"encoder": {
+            **convert_encoder_state_dict(
+                enc_sd,
+                num_layers=_max_layer_index(
+                    enc_sd, r"emformer_layers\.(\d+)\.")),
+            "ctc": convert_ctc_state_dict(dec_sd),
+        }}
+    return merge_params(like, loaded)
+
+
 # ----------------------------------------------------------- orbax backend
 
 def save_params_orbax(directory: str, params) -> None:

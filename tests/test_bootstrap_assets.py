@@ -42,7 +42,10 @@ from asr_streaming_tpu.tools.onnx_weights import (  # noqa: E402
 def fake_tree(tmp_path, synthetic_sd):
     root = tmp_path / "server_e2e"
     pv2 = root / "streaming_decoder" / "pretrained_v2"
-    (pv2 / "AM" / "emformer-rnnt").mkdir(parents=True)
+    (pv2 / "AM").mkdir(parents=True)
+    # the reference resolves EN assets at dirname(model_dir)/emformer-rnnt
+    # (recognition.py:99-119)
+    (pv2 / "emformer-rnnt").mkdir()
     (pv2 / "LM").mkdir()
     (pv2 / "endpointing").mkdir()
     (pv2 / "vad").mkdir()
@@ -54,9 +57,14 @@ def fake_tree(tmp_path, synthetic_sd):
     torch.save({"state_dict": sd}, pv2 / "AM" / "asr-online.ckpt")
 
     torch.save(synthetic_sd,
-               pv2 / "AM" / "emformer-rnnt" / "emformer_rnnt.pt")
-    (pv2 / "AM" / "emformer-rnnt" / "spm_bpe_4096.model").write_bytes(
+               pv2 / "emformer-rnnt" / "emformer_rnnt.pt")
+    (pv2 / "emformer-rnnt" / "spm_bpe_4096.model").write_bytes(
         b"\x00")   # copied verbatim, content not parsed here
+    import json
+    from tests.test_convert_rnnt import N_MELS as RNNT_MELS
+    (pv2 / "emformer-rnnt" / "global_stats_rnnt.json").write_text(
+        json.dumps({"mean": [0.1] * RNNT_MELS,
+                    "invstddev": [2.0] * RNNT_MELS}))
 
     (pv2 / "LM" / "lexicon.txt").write_text("ab\ta b |\n")
     (pv2 / "LM" / "3gram.bin").write_bytes(b"mmap lm stub")
@@ -70,6 +78,14 @@ def fake_tree(tmp_path, synthetic_sd):
     torch.save({k: torch.from_numpy(np.asarray(v))
                 for k, v in ecapa_sd.items()},
                pv2 / "diar" / "ecapa-tdnn" / "embedding_model.ckpt")
+
+    import wave
+    with wave.open(str(pv2 / "diar" / "ecapa-tdnn" / "speaker_16k.wav"),
+                   "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(np.zeros(1600, np.int16).tobytes())
     return str(root)
 
 
@@ -88,7 +104,7 @@ def test_bootstrap_full_tree(fake_tree, tmp_path):
 
     for key in ("checkpoint_vi", "checkpoint_en", "vad_weights",
                 "speaker_weights", "lexicon_path", "lm_path",
-                "lm_endpointing_path", "vocab_path"):
+                "lm_endpointing_path", "vocab_path", "en_global_stats"):
         assert key in produced, (key, produced)
         assert os.path.exists(produced[key])
 
@@ -109,6 +125,7 @@ def test_bootstrap_full_tree(fake_tree, tmp_path):
     en = (cfgs / "server-en.local.yaml").read_text()
     assert os.path.abspath(produced["checkpoint_en"]) in en
     assert "checkpoint: null" not in en
+    assert os.path.abspath(produced["en_global_stats"]) in en
 
 
 def test_bootstrap_partial_tree(tmp_path):

@@ -118,7 +118,9 @@ def bootstrap(tree: str, out_dir: str = "assets",
             ("lm_path", ("3gram.bin", "*.bin", "3gram.arpa")),
             ("lm_endpointing_path", ("lm_general.arpa",
                                      "endpointing/*.arpa")),
-            ("vocab_path", ("spm_bpe_4096.model", "*.model"))):
+            ("vocab_path", ("spm_bpe_4096.model", "*.model")),
+            # EN feature normalization (reference recognition.py:107)
+            ("en_global_stats", ("global_stats_rnnt.json",))):
         src = _find(tree, *patterns)
         if src:
             dst = os.path.join(out_dir, os.path.basename(src))
@@ -156,6 +158,7 @@ def _write_overlays(produced: dict, out_dir: str, configs_dir: str) -> None:
             "vocab_path": produced.get("vocab_path"),
             "lm_endpointing_path": produced.get("lm_endpointing_path"),
             "vad_weights": produced.get("vad_weights"),
+            "en_global_stats": produced.get("en_global_stats"),
             "use_silero": ("true" if produced.get("vad_weights")
                            else None),
         }),
