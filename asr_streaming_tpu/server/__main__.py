@@ -105,13 +105,23 @@ def build_server(settings, max_slots=None):
                             upload_encoding=settings.upload_encoding)
 
     params = init_serving_params(jax.random.PRNGKey(0), cfg)
-    if settings.checkpoint:
+    # In device_worker mode the CHILD loads/converts the checkpoint; the
+    # parent's params feed only host-side consumers.  The vi path has
+    # none (the final rescorer is the C++ lexicon+LM beam), so skip the
+    # duplicate torch conversion + ~140 MB host copy there; the EN
+    # rescorer (predictor/joiner beam) does need the real weights.
+    parent_needs_checkpoint = (not settings.device_worker
+                               or cfg.model_kind == "rnnt")
+    if settings.checkpoint and parent_needs_checkpoint:
         # .npz (framework, possibly partial e.g. bootstrap's am.npz) or a
         # reference torch checkpoint (.ckpt Lightning vi / .pt RNNT en)
         # converted on the fly (utils/checkpoint.load_params_auto)
         from asr_streaming_tpu.utils.checkpoint import load_params_auto
         params = load_params_auto(settings.checkpoint, like=params)
         logging.info("loaded checkpoint %s", settings.checkpoint)
+    elif settings.checkpoint:
+        logging.info("checkpoint %s loads in the device-worker child",
+                     settings.checkpoint)
     else:
         logging.warning("no checkpoint configured — serving random weights")
 
@@ -251,7 +261,14 @@ def build_server(settings, max_slots=None):
     en_rescorer = None
     if cfg.model_kind == "rnnt":
         from asr_streaming_tpu.models.rnnt import make_rnnt_rescorer
-        en_rescorer = make_rnnt_rescorer(params, cfg.rnnt, vocab)
+        from asr_streaming_tpu.utils.checkpoint import (
+            commit_params_to_device,
+        )
+        # the beam passes params as explicit jit args per predictor/
+        # joiner step — host numpy params would re-upload the weights on
+        # EVERY beam expansion (same bug class as the tick path)
+        en_rescorer = make_rnnt_rescorer(commit_params_to_device(params),
+                                         cfg.rnnt, vocab)
 
     return StreamingServer(
         scheduler, rescorer=rescorer, normalizer=normalizer,

@@ -105,10 +105,11 @@ def _apply_reference_layout(s: "ServerSettings", blob: Dict[str, Any],
                 "en_global_stats")
 
     ling = blob.get("Linguistic_Model") or {}
-    if ling:
-        # first ruleset (the reference instantiates one decoder per key;
-        # GENERAL is the only key its shipped configs define)
-        lm_cfg = next(iter(ling.values()))
+    # first non-empty ruleset (the reference instantiates one decoder per
+    # key; GENERAL is the only key its shipped configs define); a nulled
+    # section degrades instead of crashing
+    lm_cfg = next((v for v in ling.values() if isinstance(v, dict)), {})
+    if lm_cfg:
         corpus = blob.get("corpus_dir")
         if lm_cfg.get("lexicon") and not s.lexicon_path:
             s.lexicon_path = _existing_path(
@@ -118,13 +119,12 @@ def _apply_reference_layout(s: "ServerSettings", blob: Dict[str, Any],
             s.lm_path = _existing_path(
                 [os.path.join(corpus, lm_cfg["lm"]) if corpus else None,
                  lm_cfg["lm"]], "lm_path")
-        for src, dst in (("lm_weight", "lm_weight"),
-                         ("beam_size", "beam_size"),
-                         ("beam_size_token", "beam_size_token"),
-                         ("beam_threshold", "beam_threshold"),
-                         ("word_score", "word_score")):
-            if src in lm_cfg:
-                setattr(s, dst, lm_cfg[src])
+        for key in ("lm_weight", "beam_size", "beam_size_token",
+                    "beam_threshold", "word_score"):
+            # explicit top-level framework keys win over the mapped
+            # section (the documented overlay contract)
+            if key in lm_cfg and key not in blob:
+                setattr(s, key, lm_cfg[key])
 
     if blob.get("LM_Endpointing") and not s.lm_endpointing_path:
         s.lm_endpointing_path = _existing_path(
@@ -151,7 +151,7 @@ def _apply_reference_layout(s: "ServerSettings", blob: Dict[str, Any],
             s.speaker_wav = _existing_path(
                 [os.path.join(diar["model_dir"], diar["speaker_wav"])],
                 "speaker_wav")
-    if "threshold" in diar:
+    if "threshold" in diar and "speaker_threshold" not in blob:
         s.speaker_threshold = diar["threshold"]
 
 

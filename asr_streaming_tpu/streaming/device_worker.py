@@ -266,10 +266,12 @@ def _worker_main(conn, init: WorkerInit, staging_name: str,
                                      like={"vad": params["vad"]})
                 params["vad"] = loaded["vad"]
         # loaded checkpoints are HOST numpy arrays; params are explicit
-        # jit args every dispatch, so commit them to device ONCE or every
-        # tick re-uploads all weights through the host link (~10 s/tick
-        # at production scale — round-3 verify-drive finding)
-        params = jax.device_put(params)
+        # jit args every dispatch — commit to device once
+        # (utils/checkpoint.commit_params_to_device has the full story)
+        from asr_streaming_tpu.utils.checkpoint import (
+            commit_params_to_device,
+        )
+        params = commit_params_to_device(params)
 
         state = init_serving_state(cfg, B)
         ctx_arr = init_audio_context(cfg, B)
@@ -696,10 +698,12 @@ def _pipelined_worker_main(conn, init: PipelinedWorkerInit,
                                      like={"vad": params["vad"]})
                 params["vad"] = loaded["vad"]
         # loaded checkpoints are HOST numpy arrays; params are explicit
-        # jit args every dispatch, so commit them to device ONCE or every
-        # tick re-uploads all weights through the host link (~10 s/tick
-        # at production scale — round-3 verify-drive finding)
-        params = jax.device_put(params)
+        # jit args every dispatch — commit to device once
+        # (utils/checkpoint.commit_params_to_device has the full story)
+        from asr_streaming_tpu.utils.checkpoint import (
+            commit_params_to_device,
+        )
+        params = commit_params_to_device(params)
 
         state = [init_serving_state(cfg, B) for _ in range(G)]
         ctx_arr = [init_audio_context(cfg, B) for _ in range(G)]

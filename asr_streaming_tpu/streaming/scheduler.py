@@ -71,20 +71,14 @@ class Scheduler:
                  device_worker: Optional[dict] = None,
                  worker=None):
         # Params are EXPLICIT jit args every dispatch (donation /
-        # compile-size design, see _step below).  A loaded checkpoint
-        # arrives as HOST numpy arrays — passing those per tick re-uploads
-        # every weight through the host link (~140 MB fp32 at production
-        # scale: ~10 s/tick on a thin link; found by the round-3
-        # reference-config verify drive — random-weight benches never hit
-        # it because init params are already device arrays).  Commit them
-        # to device once; no-op for already-committed arrays.
+        # compile-size design, see _step below); host numpy checkpoint
+        # params would re-upload every weight per tick — commit once
+        # (utils/checkpoint.commit_params_to_device has the full story).
         if worker is None and device_worker is None:
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-                params = jax.device_put(
-                    params, NamedSharding(mesh, PartitionSpec()))
-            else:
-                params = jax.device_put(params)
+            from asr_streaming_tpu.utils.checkpoint import (
+                commit_params_to_device,
+            )
+            params = commit_params_to_device(params, mesh)
         self.params = params
         self.cfg = cfg
         self.vocab = list(vocab)
@@ -653,14 +647,12 @@ class GroupedScheduler:
         device_worker = kwargs.pop("device_worker", None)
         if device_worker is None and kwargs.get("worker") is None:
             # commit host (numpy) params to device ONCE here — each group
-            # Scheduler's own device_put would otherwise upload its own
-            # copy of the identical weights
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-                params = jax.device_put(
-                    params, NamedSharding(mesh, PartitionSpec()))
-            else:
-                params = jax.device_put(params)
+            # Scheduler's own commit would otherwise upload its own copy
+            # of the identical weights
+            from asr_streaming_tpu.utils.checkpoint import (
+                commit_params_to_device,
+            )
+            params = commit_params_to_device(params, mesh)
         if device_worker is not None:
             # ALL groups multiplex through ONE child process (one process
             # owns the TPU): the PipelinedWorkerClient keeps one batch in

@@ -171,6 +171,54 @@ def test_reference_layout_missing_assets_degrade(tmp_path, caplog):
                for r in caplog.records)
 
 
+def test_explicit_scalars_beat_reference_sections(fake_tree, tmp_path):
+    """Top-level framework scalars win over Linguistic_Model /
+    Speaker_Diar values (the documented overlay contract — review
+    finding: scalars used to be overwritten unconditionally)."""
+    cfg = _write_reference_yaml(fake_tree)
+    blob = open(cfg).read() + "\nlm_weight: 2.0\nspeaker_threshold: 0.6\n"
+    cfg2 = tmp_path / "overlay2.yaml"
+    cfg2.write_text(blob)
+    s = ServerSettings.load(str(cfg2), env={"LANGUAGE": "vi"})
+    assert s.lm_weight == 2.0
+    assert s.speaker_threshold == 0.6
+    # un-overridden section values still map
+    assert s.beam_size == 40
+
+
+def test_empty_reference_sections_degrade(tmp_path):
+    """Nulled nested sections (user disables the LM) degrade instead of
+    crashing (review finding: next(iter(...)).get raised on None)."""
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("""
+language: vi
+Linguistic_Model:
+  GENERAL:
+Vad:
+  Silero:
+Speaker_Diar:
+""")
+    s = ServerSettings.load(str(cfg), env={})
+    assert s.lm_path is None and s.lexicon_path is None
+    assert s.vad_weights is None and s.speaker_weights is None
+
+
+def test_partial_checkpoint_warns_untouched_subtrees(tmp_path, caplog):
+    import logging
+
+    template = {
+        "frontend": {"k": jnp.ones((2,), jnp.float32)},
+        "encoder": {"w": jnp.zeros((3,), jnp.float32)},
+    }
+    npz = tmp_path / "partial.npz"
+    save_params(str(npz), {"encoder": {"w": np.ones(3)}})
+    with caplog.at_level(logging.WARNING,
+                         logger="asr_streaming_tpu.utils.checkpoint"):
+        load_params_auto(str(npz), like=template)
+    assert any("frontend" in r.message and "initialized values"
+               in r.message for r in caplog.records)
+
+
 def test_explicit_keys_beat_reference_mapping(fake_tree, tmp_path):
     """Framework keys in the same file win over the mapped nested
     sections (overlay migration: keep the reference sections, override
