@@ -171,6 +171,21 @@ def test_reference_layout_missing_assets_degrade(tmp_path, caplog):
                for r in caplog.records)
 
 
+def test_real_reference_en_yaml_reduced_geometry():
+    """The reference's shipped EN config (asr-online-en.yaml: audio_en
+    segment 8 / context 4 / bias 0 / framerate 1) maps to the reduced
+    EN geometry."""
+    src = "/root/reference/streaming_decoder/config/asr-online-en.yaml"
+    if not os.path.exists(src):
+        pytest.skip("reference tree not present")
+    s = ServerSettings.load(src, env={})
+    assert s.language == "en"
+    assert len(s.endpoint_rules) == 4
+    assert (s.audio.segment_size, s.audio.context_size,
+            s.audio.bias, s.audio.framerate) == (8, 4, 0, 1)
+    assert s.checkpoint is None          # /opt assets absent here
+
+
 def test_explicit_scalars_beat_reference_sections(fake_tree, tmp_path):
     """Top-level framework scalars win over Linguistic_Model /
     Speaker_Diar values (the documented overlay contract — review
