@@ -69,6 +69,12 @@ class NativeBeamDecoder:
         if lib is None:
             raise RuntimeError("libasrbeam.so unavailable")
         self._lib = lib
+        if lm_path:
+            # the C++ LM loader reads text ARPA and KenLM PROBING; a
+            # TRIE-family asset is converted to its probing twin once
+            # and cached (decode/kenlm_trie.py)
+            from asr_streaming_tpu.decode.kenlm_trie import ensure_native_lm
+            lm_path = ensure_native_lm(lm_path)
         self.vocab = list(vocab)
         arr = (ctypes.c_char_p * len(self.vocab))(
             *[t.encode("utf-8") for t in self.vocab])

@@ -44,9 +44,10 @@ word maps to id 0 = ``<unk>``, so stored n-grams that *contain*
 ``<unk>`` can match OOV contexts (the string-keyed ArpaLM can never
 match them).
 
-TRIE-family binaries (model_type >= 2: sorted-vocab bit-packed arrays,
-optional quantization tables and Bhiksha pointer compression) are
-detected and rejected with a precise message — see ``read_header``.
+TRIE-family binaries (model_type 2/3: sorted-vocab bit-packed arrays,
+optional quantization tables) load through the companion module
+``decode/kenlm_trie.py``; the Bhiksha ARRAY variants (4/5) are detected
+and rejected with a precise message.  ``load_lm`` routes by model type.
 
 The writer exists so deployments (and tests) can build the binary twin
 of any text ARPA without KenLM installed: the native C++ reader
@@ -175,7 +176,16 @@ def write_probing(arpa_path: str, out_path: str,
                   include_vocab_strings: bool = True) -> None:
     """Build a KenLM PROBING-format binary from a text ARPA file — the
     twin of ``build_binary probing in.arpa out.bin``."""
-    arpa = _parse_arpa(arpa_path)
+    write_probing_from(_parse_arpa(arpa_path), out_path,
+                       probing_multiplier=probing_multiplier,
+                       include_vocab_strings=include_vocab_strings)
+
+
+def write_probing_from(arpa: "_Arpa", out_path: str,
+                       probing_multiplier: float = 1.5,
+                       include_vocab_strings: bool = True) -> None:
+    """write_probing from an in-memory n-gram table (used by the TRIE
+    reader's trie->probing conversion, decode/kenlm_trie.py)."""
     order = arpa.order
     counts = list(arpa.counts)
 
@@ -334,14 +344,10 @@ def read_header(data: bytes) -> Header:
         data, _SANITY_SIZE)
     counts = list(struct.unpack_from(
         f"<{order}Q", data, _SANITY_SIZE + _PARAMS.size))
-    if model_type not in (0, 1):
-        name = MODEL_TYPES.get(model_type, str(model_type))
+    if model_type not in MODEL_TYPES:
         raise ValueError(
-            f"KenLM model type {name} is not supported: only the "
-            "PROBING family (build_binary's default) loads directly. "
-            "TRIE-family binaries (bit-packed sorted arrays, optional "
-            "quantization/Bhiksha) must be rebuilt as probing or "
-            "converted from the text ARPA with tools/build_lm.py")
+            f"unknown KenLM model type {model_type}; known types are "
+            f"{sorted(MODEL_TYPES.values())}")
     if model_type == 1:
         # REST_PROBING stores lower-order REST costs in place of plain
         # probabilities for non-longest orders — loading it as plain
@@ -391,6 +397,13 @@ class KenLMBinary:
             self._data = f.read()
         data = memoryview(self._data)
         h = read_header(self._data)
+        if h.model_type != 0:
+            raise ValueError(
+                f"KenLM model type {MODEL_TYPES[h.model_type]} is not a "
+                "PROBING binary; open through load_lm (TRIE/QUANT_TRIE "
+                "route to decode.kenlm_trie.KenLMTrie; Bhiksha ARRAY "
+                "variants must be rebuilt or converted from the text "
+                "ARPA with tools/build_lm.py)")
         self.header = h
         self.order = h.order
         off = h.data_offset
@@ -493,11 +506,21 @@ class KenLMBinary:
 
 
 def load_lm(path: str):
-    """Open ``path`` as a KenLM binary when it carries the format magic,
-    else as text ARPA — the polymorphic entry the rescorer config uses
-    (reference loads either through kenlm, recognition.py:236-245)."""
+    """Open ``path`` as a KenLM binary when it carries the format magic
+    (PROBING here; TRIE/QUANT_TRIE via decode.kenlm_trie), else as text
+    ARPA — the polymorphic entry the rescorer config uses (reference
+    loads either through kenlm, recognition.py:236-245)."""
     kind = sniff(path)
     if kind is None:
         from asr_streaming_tpu.decode.beam import ArpaLM
         return ArpaLM.from_arpa(path)
+    if kind in ("TRIE", "QUANT_TRIE"):
+        from asr_streaming_tpu.decode.kenlm_trie import KenLMTrie
+        return KenLMTrie(path)
+    if kind in ("ARRAY_TRIE", "QUANT_ARRAY_TRIE"):
+        raise ValueError(
+            f"KenLM {kind} uses Bhiksha pointer compression, which is "
+            "not implemented; rebuild the LM as probing/trie "
+            "(build_binary [quantize] trie) or convert from the text "
+            "ARPA with tools/build_lm.py")
     return KenLMBinary(path)

@@ -193,9 +193,11 @@ class KenLMProbing : public LmBase {
     std::memcpy(&has_vocab, p + 12, 1);
     if (model_type != 0) {
       *error = "KenLM model type " + std::to_string(model_type) +
-               " unsupported (only PROBING=0; TRIE-family/REST binaries "
-               "must be rebuilt as probing or converted from text ARPA "
-               "with tools/build_lm.py)";
+               " unsupported natively (only PROBING=0 here; TRIE=2 / "
+               "QUANT_TRIE=3 auto-convert through the Python binding, "
+               "decode/kenlm_trie.py ensure_native_lm; REST/Bhiksha "
+               "binaries must be rebuilt as probing or converted from "
+               "text ARPA with tools/build_lm.py)";
       return nullptr;
     }
     if (!has_vocab) {
