@@ -327,7 +327,10 @@ def write_trie_from(arpa: _Arpa, out_path: str, quantize: bool = False,
     # ---- quant tables
     if quantize:
         qprobs, qbackoffs, qlongest = quant_tables
-        out += struct.pack("<BB6x", prob_bits, backoff_bits)
+        # SeparatelyQuantize header (lm/quantize.cc FinishedLoading /
+        # UpdateConfigFromBinary): u8 version (=2), u8 prob_bits,
+        # u8 backoff_bits, padded to 8 bytes.
+        out += struct.pack("<BBB5x", 2, prob_bits, backoff_bits)
         for i in range(order - 2):
             for v in qprobs[i]:
                 out += _F32.pack(v)
@@ -454,7 +457,17 @@ class KenLMTrie:
         self._qlongest: Optional[memoryview] = None
         prob_bits = backoff_bits = 0
         if self.quantized:
-            prob_bits, backoff_bits = struct.unpack_from("<BB", data, off)
+            # lm/quantize.cc stores {u8 version, u8 prob_bits,
+            # u8 backoff_bits} in the first 3 of the 8 header bytes;
+            # SeparatelyQuantize's version is 2.  Reject anything else
+            # loudly rather than mis-size every downstream table.
+            qversion, prob_bits, backoff_bits = struct.unpack_from(
+                "<BBB", data, off)
+            if qversion != 2:
+                raise ValueError(
+                    f"KenLM quantization header version {qversion} "
+                    "(expected 2, SeparatelyQuantize); refusing to guess "
+                    "the table layout")
             if not (0 < prob_bits <= 25 and 0 < backoff_bits <= 25):
                 raise ValueError(
                     f"implausible quantization widths ({prob_bits}, "
@@ -666,27 +679,72 @@ class KenLMTrie:
         write_probing_from(self.to_arpa(), out_path)
 
 
+def _convert_atomic(lm_path: str, cache: str) -> None:
+    """Convert ``lm_path`` (trie) into ``cache`` (probing) atomically:
+    write into a tempfile in the destination directory and os.replace()
+    it into place, so a killed or concurrent process can never leave a
+    truncated cache that later freshness checks would trust."""
+    import tempfile
+    trie = KenLMTrie(lm_path)
+    logger.info(
+        "converting trie LM %s (%s n-grams) to its probing twin at %s — "
+        "one-time cost, proportional to model size",
+        lm_path, "+".join(str(c) for c in trie.header.counts), cache)
+    fd, tmp = tempfile.mkstemp(
+        suffix=".tmp", prefix=os.path.basename(cache) + ".",
+        dir=os.path.dirname(cache) or ".")
+    os.close(fd)
+    try:
+        trie.to_probing(tmp)
+        os.replace(tmp, cache)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _cache_valid(cache: str, lm_path: str) -> bool:
+    """Fresh AND loadable as PROBING (header-validated, so a corrupt or
+    foreign file at the cache path is never trusted)."""
+    from asr_streaming_tpu.decode.kenlm_binary import sniff
+    try:
+        if os.path.getmtime(cache) < os.path.getmtime(lm_path):
+            return False
+        return sniff(cache) == "PROBING"
+    except (OSError, ValueError):
+        return False
+
+
 def ensure_native_lm(lm_path: str) -> str:
     """Path the native C++ decoder can load: ``lm_path`` itself for text
     ARPA / PROBING, a cached PROBING conversion for TRIE-family binaries
     (sibling ``<name>.as_probing.bin`` when the directory is writable,
-    else a per-process temp file)."""
+    else a persistent per-user cache under ``~/.cache/asr_streaming_tpu``
+    keyed by source path + mtime, so read-only LM directories don't redo
+    the conversion every process start)."""
     from asr_streaming_tpu.decode.kenlm_binary import sniff
     kind = sniff(lm_path)
     if kind not in ("TRIE", "QUANT_TRIE"):
         return lm_path
     cache = lm_path + ".as_probing.bin"
     try:
-        if os.path.exists(cache) and \
-                os.path.getmtime(cache) >= os.path.getmtime(lm_path):
+        if _cache_valid(cache, lm_path):
             return cache
-        KenLMTrie(lm_path).to_probing(cache)
+        _convert_atomic(lm_path, cache)
         return cache
     except OSError:
-        import tempfile
-        fd, tmp = tempfile.mkstemp(suffix=".as_probing.bin")
-        os.close(fd)
-        KenLMTrie(lm_path).to_probing(tmp)
+        cache_dir = os.environ.get(
+            "ASR_LM_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "asr_streaming_tpu"))
+        os.makedirs(cache_dir, exist_ok=True)
+        key = f"{murmur64a(os.path.abspath(lm_path).encode(), 0):016x}"
+        cache = os.path.join(cache_dir, f"{key}.as_probing.bin")
+        if _cache_valid(cache, lm_path):
+            return cache
+        _convert_atomic(lm_path, cache)
         logger.info("converted trie LM to probing at %s (source dir not "
-                    "writable)", tmp)
-        return tmp
+                    "writable)", cache)
+        return cache
