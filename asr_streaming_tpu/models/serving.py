@@ -78,6 +78,18 @@ class ServingConfig:
     # required for real reference RNNT checkpoints to see the feature
     # distribution they were trained on.
     en_global_stats: Optional[str] = None
+    # Device-batched per-chunk RNNT beam search (EN beam-partials mode,
+    # models/rnnt_beam.py): beam width, or None for greedy partials +
+    # beam-rescored finals.  When set, the serving step replaces the
+    # device greedy decode with the batched beam — the reference's exact
+    # per-chunk beam contract (streaming_server.py:445) at batch scale —
+    # and the pack carries the best hypothesis's token buffer.
+    en_beam_width_device: Optional[int] = None
+    # Per-segment token-buffer capacity for the device beam.  EN segments
+    # hard-flush at 30 s (asr-online-en.yaml); BPE-4096 English runs
+    # ~5 tokens/s, so 256 is ~1.7x headroom.  Overflow drops tokens
+    # loudly at the buffer tail rather than corrupting earlier ones.
+    en_beam_cap: int = 256
 
 
 # Host-pack layout: one [B, 5 + n] float32 array per tick (a single
@@ -94,7 +106,15 @@ class ServingTickOutput(NamedTuple):
                                  # context (the ring buffer's carried tail)
 
 
-ServingState = Union[EmformerState, RNNTStreamState]
+class BeamServingState(NamedTuple):
+    """EN beam-partials device state: encoder stream state + the carried
+    B x W hypothesis beam (models/rnnt_beam.py).  The greedy path's
+    predictor/last_token live inside the beam's hypotheses instead."""
+    encoder: EmformerState
+    beam: "BeamState"            # forward ref: models/rnnt_beam.py
+
+
+ServingState = Union[EmformerState, RNNTStreamState, BeamServingState]
 
 
 def init_serving_params(key: jax.Array, cfg: ServingConfig) -> dict:
@@ -126,6 +146,16 @@ def _tiny_en_mel(n_mels: int) -> MelConfig:
 
 def init_serving_state(cfg: ServingConfig, max_slots: int) -> ServingState:
     if cfg.model_kind == "rnnt":
+        if cfg.en_beam_width_device:
+            from asr_streaming_tpu.models.emformer import (
+                init_emformer_state,
+            )
+            from asr_streaming_tpu.models.rnnt_beam import init_beam_state
+            return BeamServingState(
+                encoder=init_emformer_state(cfg.rnnt.emformer, max_slots),
+                beam=init_beam_state(cfg.rnnt, max_slots,
+                                     cfg.en_beam_width_device,
+                                     cap=cfg.en_beam_cap))
         return init_rnnt_state(cfg.rnnt, max_slots)
     return init_asr_state(cfg.asr, max_slots)
 
@@ -421,8 +451,84 @@ def serving_step_rnnt(params: dict, cfg: ServingConfig,
                              emission=emission_buf, ctx=new_ctx)
 
 
+def serving_step_rnnt_beam(params: dict, cfg: ServingConfig,
+                           segment_i16: jax.Array,
+                           contain_token: jax.Array, active: jax.Array,
+                           new_stream: jax.Array, reset: jax.Array,
+                           state: BeamServingState, ctx: jax.Array,
+                           emission_buf: Optional[jax.Array] = None
+                           ) -> ServingTickOutput:
+    """EN beam-partials tick: VAD + transcriber + device-batched beam.
+
+    The scalable equivalent of the reference's production EN decode —
+    torchaudio RNNTBeamSearch.infer on every chunk with a carried
+    hypothesis (reference recognition.py:122-133, streaming_server.py:445)
+    — with the beam as a device batch axis (models/rnnt_beam.py) instead
+    of a host loop per stream.  The pack's data columns carry the best
+    hypothesis per stream: [n_tokens, token_0..token_{CAP-1}] (f32 holds
+    token ids <= 4096 exactly).
+    """
+    from asr_streaming_tpu.models.emformer import init_emformer_state
+    from asr_streaming_tpu.models.rnnt import transcriber_step
+    from asr_streaming_tpu.models.rnnt_beam import rnnt_beam_chunk_step
+
+    wave, new_ctx = _assemble_wave(cfg, segment_i16, ctx, active,
+                                   new_stream)
+    rnnt = cfg.rnnt
+    B = wave.shape[0]
+    zero_enc = init_emformer_state(rnnt.emformer, B)
+    enc_state = jax.tree.map(
+        lambda z, s: jnp.where(
+            reset.reshape((1, -1) + (1,) * (s.ndim - 2))
+            if s.ndim > 1 else reset, z, s), zero_enc, state.encoder)
+
+    audio_cfg = cfg.asr.audio
+    gate, silero_speech, lead, trail = _vad_stage(
+        params, cfg, wave, audio_cfg.buffer_length, audio_cfg.sample_rate)
+    decode = active & (contain_token | (gate & silero_speech))
+
+    mel_cfg = (MelConfig.for_english() if rnnt.n_mels == 80
+               else _tiny_en_mel(rnnt.n_mels))
+    feats = log_mel(params["en_frontend"], mel_cfg, wave,
+                    mean=params["en_frontend"].get("mean"),
+                    invstddev=params["en_frontend"].get("invstddev"))
+    em = rnnt.emformer
+    feats = feats[:, :(em.segment_length + em.right_context_length) * 4]
+
+    enc, stepped = transcriber_step(params, rnnt, feats, enc_state)
+    new_enc_state = jax.tree.map(
+        lambda n, o: jnp.where(
+            decode.reshape((1, -1) + (1,) * (n.ndim - 2))
+            if n.ndim > 1 else decode, n, o), stepped, enc_state)
+
+    beam_state, best_toks, best_len = rnnt_beam_chunk_step(
+        params, rnnt, enc.astype(jnp.float32), state.beam,
+        active=decode, reset=reset)
+
+    if emission_buf is not None:
+        # same device-resident encoding buffer as the greedy path (host
+        # rescorers/evaluators can still fetch a segment's encodings)
+        U = enc.shape[1]
+        max_t = emission_buf.shape[1]
+        pos = jnp.clip(enc_state.length, 0, max_t - max_t % U - U)
+        rows = (_pack_f16_rows(enc) if _emission_packed(cfg)
+                else enc.astype(emission_buf.dtype))
+        emission_buf = _append(emission_buf, rows, pos, decode)
+
+    data = jnp.concatenate(
+        [best_len[:, None].astype(jnp.float32),
+         best_toks.astype(jnp.float32)], axis=1)
+    pack = _pack(decode, gate, silero_speech, lead, trail, data)
+    return ServingTickOutput(
+        pack=pack,
+        state=BeamServingState(encoder=new_enc_state, beam=beam_state),
+        emission=emission_buf, ctx=new_ctx)
+
+
 def make_serving_step(cfg: ServingConfig):
     """Return the jit-able step function for this config's model kind."""
     if cfg.model_kind == "rnnt":
+        if cfg.en_beam_width_device:
+            return serving_step_rnnt_beam
         return serving_step_rnnt
     return serving_step

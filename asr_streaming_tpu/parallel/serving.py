@@ -45,6 +45,19 @@ def serving_state_pspecs(cfg: ServingConfig):
     enc = EmformerState(mem=P(None, "data"), lc_k=P(None, "data"),
                         lc_v=P(None, "data"), length=P("data"))
     if cfg.model_kind == "rnnt":
+        if cfg.en_beam_width_device:
+            # EN device-beam mode: hypotheses are per-slot, so every
+            # BeamState leaf shards along the slot axis (axis 0 except
+            # pred_h/pred_c's [L, B, W, H] axis 1)
+            from asr_streaming_tpu.models.rnnt_beam import BeamState
+            from asr_streaming_tpu.models.serving import BeamServingState
+            return BeamServingState(
+                encoder=enc,
+                beam=BeamState(
+                    tokens=P("data"), lengths=P("data"),
+                    scores=P("data"), h1=P("data"), h2=P("data"),
+                    pred_h=P(None, "data"), pred_c=P(None, "data"),
+                    pred_out=P("data")))
         return RNNTStreamState(
             encoder=enc,
             predictor=PredictorState(h=P(None, "data"), c=P(None, "data")),

@@ -154,7 +154,8 @@ def build_server(settings, max_slots=None):
         rules=settings.endpoint_rules,
         ngram_cost=settings.ngram_cost(),
         en_beam_partials=settings.en_beam_partials,
-        en_beam_width=settings.en_beam_width)
+        en_beam_width=settings.en_beam_width,
+        en_beam_impl=getattr(settings, "en_beam_impl", "device"))
     dp = getattr(settings, "data_parallel", 1)
     if dp == 0 or dp > 1:
         # multi-chip serving: slot axis sharded over the local chips
@@ -168,10 +169,12 @@ def build_server(settings, max_slots=None):
             logging.warning("device_worker is exclusive with "
                             "data_parallel — data_parallel ignored")
             del sched_kwargs["mesh"]
-        if sched_kwargs.get("en_beam_partials"):
-            logging.warning("en_beam_partials needs in-process device "
-                            "access — disabled for device_worker mode")
-            sched_kwargs["en_beam_partials"] = False
+        if sched_kwargs.get("en_beam_partials") and \
+                sched_kwargs.get("en_beam_impl") == "host":
+            logging.warning("en_beam_partials host impl needs in-process "
+                            "device access — switching to the device "
+                            "(batched on-TPU) beam for device_worker mode")
+            sched_kwargs["en_beam_impl"] = "device"
         sched_kwargs["device_worker"] = dict(
             seed=0, checkpoint=settings.checkpoint,
             vad_weights=settings.vad_weights)
@@ -259,7 +262,14 @@ def build_server(settings, max_slots=None):
             eparams, ecfg, wave, threshold=settings.speaker_threshold)
 
     en_rescorer = None
-    if cfg.model_kind == "rnnt":
+    if cfg.model_kind == "rnnt" and not settings.en_beam_partials:
+        # Final rescoring upgrades GREEDY-partial finals to beam quality.
+        # In beam-partials mode the final text already IS the carried
+        # beam hypothesis (the reference's contract — its EN final is the
+        # hypothesis text, never re-decoded, streaming_server.py:530-538),
+        # and re-running a host beam over the whole segment at EOS was
+        # measured blocking __REQUEST_COMPLETED__ for minutes at
+        # production segment sizes.
         from asr_streaming_tpu.models.rnnt import make_rnnt_rescorer
         from asr_streaming_tpu.utils.checkpoint import (
             commit_params_to_device,

@@ -203,6 +203,10 @@ class ServerSettings:
                                      # isolation; streaming/device_worker)
     en_beam_partials: bool = False   # EN: carried-hypothesis beam per chunk
     en_beam_width: int = 10
+    en_beam_impl: str = "device"     # "device": batched on-TPU beam
+                                     # (models/rnnt_beam.py, scales to full
+                                     # slot counts); "host": per-stream
+                                     # oracle loop (parity/debug only)
     lm_weight: float = 1.0
     beam_size: int = 50
     beam_size_token: int = 5
@@ -230,7 +234,7 @@ class ServerSettings:
                     "vad_weights", "doc_root", "certificate", "speaker_wav",
                     "speaker_weights", "en_global_stats",
                     "use_silero", "upload_encoding", "quant",
-                    "en_beam_partials",
+                    "en_beam_partials", "en_beam_impl",
                     "en_beam_width", "scheduler_groups", "data_parallel",
                     "device_worker",
                     "lm_weight", "beam_size", "beam_size_token",

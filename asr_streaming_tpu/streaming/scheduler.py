@@ -57,6 +57,19 @@ class StreamEvent:
     dispatched_at: float = 0.0
 
 
+def _apply_beam_cfg(cfg: ServingConfig, en_beam_partials: bool,
+                    en_beam_width: int, en_beam_impl: str) -> ServingConfig:
+    """Resolve the EN beam-partials mode into the ServingConfig: the
+    device implementation changes the compiled step (models/serving.py
+    serving_step_rnnt_beam) and the pack width, so the transformation
+    must happen before ANY consumer of cfg (device state, emission
+    buffer, worker client) is built."""
+    if (en_beam_partials and en_beam_impl == "device"
+            and cfg.model_kind == "rnnt" and not cfg.en_beam_width_device):
+        return dataclasses.replace(cfg, en_beam_width_device=en_beam_width)
+    return cfg
+
+
 class Scheduler:
     def __init__(self, params: dict, cfg: ServingConfig,
                  vocab: Sequence[str], max_slots: int = 8,
@@ -66,10 +79,13 @@ class Scheduler:
                  donate_state: bool = True,
                  en_beam_partials: bool = False,
                  en_beam_width: int = 10,
+                 en_beam_impl: str = "device",
                  pipeline_depth: int = 1,
                  mesh=None,
                  device_worker: Optional[dict] = None,
                  worker=None):
+        cfg = _apply_beam_cfg(cfg, en_beam_partials, en_beam_width,
+                              en_beam_impl)
         # Params are EXPLICIT jit args every dispatch (donation /
         # compile-size design, see _step below); host numpy checkpoint
         # params would re-upload every weight per tick — commit once
@@ -95,9 +111,16 @@ class Scheduler:
         # recognition.py:133 return cumulative tokens) — partials here are
         # true deltas of the best hypothesis's text.
         self.en_beam_partials = en_beam_partials and cfg.model_kind == "rnnt"
+        # device impl (default): the beam rides the fused serving step
+        # (cfg.en_beam_width_device set above); the pack's data columns
+        # carry [n_tokens, tokens...] and _scatter only detokenizes.
+        # host impl (en_beam_impl="host"): the original per-stream oracle
+        # loop — kept as the parity reference (tools/ablate_en_beam.py
+        # measures both).
+        self._beam_device = bool(cfg.en_beam_width_device)
         self._beam = None
         self._fetch_chunk = None
-        if self.en_beam_partials:
+        if self.en_beam_partials and not self._beam_device:
             from asr_streaming_tpu.models.rnnt import RNNTBeamDecoder
             self._beam = RNNTBeamDecoder(params, cfg.rnnt,
                                          beam_width=en_beam_width)
@@ -134,10 +157,11 @@ class Scheduler:
                     "device_worker and mesh are exclusive: the worker "
                     "child owns the device(s); use data_parallel without "
                     "device_worker, or device_worker alone")
-            if self.en_beam_partials:
+            if self.en_beam_partials and not self._beam_device:
                 raise ValueError(
-                    "en_beam_partials needs in-process device access; "
-                    "disable it for device_worker mode")
+                    "en_beam_partials host impl needs in-process device "
+                    "access; use en_beam_impl='device' (default) for "
+                    "device_worker mode")
 
         self.is_rnnt = cfg.model_kind == "rnnt"
         if self.worker is None:
@@ -520,10 +544,26 @@ class Scheduler:
             if decoded[slot]:
                 if self.is_rnnt:
                     U = self.cfg.rnnt.emformer.segment_length
-                    if self.en_beam_partials:
-                        # carried-hypothesis beam on every chunk over the
-                        # device-buffered transcriber encodings (the
-                        # reference's pattern, streaming_server.py:445)
+                    if self.en_beam_partials and self._beam_device:
+                        # device-batched beam (models/rnnt_beam.py): the
+                        # pack's data columns carry the best hypothesis
+                        # [n_tokens, tokens...]; the host only detokenizes
+                        n = int(data[slot, 0])
+                        toks = data[slot, 1:1 + n]
+                        full = detokenize_pieces(
+                            [int(t) for t in toks], self.vocab,
+                            lstrip=False)
+                        prev = s.transcript_internal
+                        delta = (full[len(prev):]
+                                 if full.startswith(prev) else full)
+                        s.apply_decode_en(delta, trail[slot], lead[slot],
+                                          enc_frames=U, full_text=full)
+                        partial_update[slot] = full != prev
+                    elif self.en_beam_partials:
+                        # host-impl oracle: carried-hypothesis beam on
+                        # every chunk over the device-buffered transcriber
+                        # encodings (the reference's pattern,
+                        # streaming_server.py:445)
                         enc = np.asarray(self._fetch_chunk(
                             self.emission_buf, jnp.int32(slot),
                             jnp.int32(s.emission_length)))
@@ -560,11 +600,12 @@ class Scheduler:
             is_final, utt_len = s.check_endpoint(advance=False)
             if is_final:
                 self._needs_reset[slot] = True  # state_init on next tick
-                if self.en_beam_partials:
+                if self.en_beam_partials and not self._beam_device:
                     # new segment starts a fresh hypothesis (the reference
                     # leaves this commented out, streaming_server.py:549,
                     # letting text accumulate across segments — a bug we
-                    # do not replicate)
+                    # do not replicate).  Device impl: needs_reset above
+                    # re-initializes the on-device beam next tick.
                     s.hypotheses = None
                 emission_len = s.emission_length
                 seg = s.take_final_segment(utt_len)
@@ -636,6 +677,12 @@ class GroupedScheduler:
     def __init__(self, params: dict, cfg: ServingConfig,
                  vocab: Sequence[str], max_slots: int = 512,
                  groups: int = 4, **kwargs):
+        # resolve the EN beam mode BEFORE the shared worker client is
+        # built (it sizes pack shm from cfg); Scheduler re-applies this
+        # idempotently per group
+        cfg = _apply_beam_cfg(cfg, kwargs.get("en_beam_partials", False),
+                              kwargs.get("en_beam_width", 10),
+                              kwargs.get("en_beam_impl", "device"))
         groups = max(1, min(groups, max_slots))
         per = -(-max_slots // groups)          # ceil; capacity >= max_slots
         mesh = kwargs.get("mesh")

@@ -76,24 +76,38 @@ def test_en_batch_invariance():
         assert per[f"b{i}"] == solo[i]
 
 
-def make_en_beam_scheduler(max_slots=2, seed=0, width=4):
+def make_en_beam_scheduler(max_slots=2, seed=0, width=4, impl="device"):
     import dataclasses
     asr = dataclasses.replace(ASRConfig.tiny(), audio=EN_AUDIO)
+    # float32 emission buffer: the host impl beam reads encodings back
+    # from the buffer while the device impl consumes them in-step, so the
+    # equivalence test must not let f16 storage rounding split them
     cfg = ServingConfig(asr=asr, model_kind="rnnt", rnnt=RNNT_CFG,
-                        use_silero=False)
+                        use_silero=False, emission_dtype="float32")
     params = init_serving_params(jax.random.PRNGKey(seed), cfg)
+    # Sharpen the joiner projection (x4): random-weight logits are
+    # near-uniform, so blank-vs-token decisions sit on near-ties that
+    # bitwise float differences (host vs device impls fuse differently;
+    # sandbox hosts expose varying CPU feature sets) can flip, cascading
+    # through the carried hypothesis into entirely different event
+    # streams.  Scaling widens every beam margin without changing the
+    # argmax structure, making the fixture's trajectory stable.
+    params["joiner"] = {"w": params["joiner"]["w"] * 4.0,
+                        "b": params["joiner"]["b"] * 4.0}
     return Scheduler(params, cfg, PIECES, max_slots=max_slots,
                      language="en", rules=FLUSH_RULES,
-                     en_beam_partials=True, en_beam_width=width)
+                     en_beam_partials=True, en_beam_width=width,
+                     en_beam_impl=impl)
 
 
 def test_en_beam_partials_carry_hypothesis():
     """Opt-in per-chunk beam mode (the reference's pattern,
     streaming_server.py:445): the hypothesis carries across >=3 chunks,
-    partial text tracks the best hypothesis, and finals reset it."""
+    partial text tracks the best hypothesis, and finals reset it.
+    (host impl — the oracle that keeps hypotheses host-side)"""
     from asr_streaming_tpu.models.rnnt import detokenize_pieces
 
-    sched = make_en_beam_scheduler()
+    sched = make_en_beam_scheduler(impl="host")
     s = sched.admit("en0")
     s.accept_waveform(speechy(1.2, seed=5))
     token_counts = []
@@ -118,10 +132,53 @@ def test_en_beam_partials_carry_hypothesis():
         assert getattr(s, "hypotheses", None) is None
 
 
+def test_en_beam_device_mode_structure():
+    """Device-beam mode through the full scheduler: mode resolution
+    (en_beam_impl='device' compiles the fused beam step and widens the
+    pack), event structure (partials accumulate toward finals, finals
+    fire, resets clear the carried hypothesis for segment 2).
+
+    Deliberately NOT an exact-text comparison against the host impl:
+    random-weight logits are near-uniform, so any cross-program equality
+    (two differently-fused XLA executables) rides knife-edge float
+    comparisons that flip across processes — observed flaking with both
+    the prune threshold and first-emission blank ties.  Exact equality is
+    pinned where it is provable: tests/test_rnnt_beam_device.py (both
+    impls on IDENTICAL encodings, same program shapes) and the overfit
+    golden loop (trained, confident weights served through this exact
+    scheduler path, tests/test_overfit_rnnt_e2e.py)."""
+    sched = make_en_beam_scheduler(seed=2, impl="device")
+    # mode resolution: the ServingConfig was rewritten before any
+    # consumer (device state, pack layout) was built
+    assert sched.cfg.en_beam_width_device == 4
+    assert sched._beam is None          # no host beam constructed
+    sts = [sched.admit(f"s{i}") for i in range(2)]
+    for st, seed in zip(sts, (7, 8)):
+        st.accept_waveform(speechy(1.3, seed=seed))
+        st.accept_waveform(np.zeros(16000, np.float32))  # force finals
+    per = {st.id: [] for st in sts}
+    for e in sched.drain():
+        per[e.stream_id].append(e)
+    for st in sts:
+        evs = per[st.id]
+        finals = [e for e in evs if e.is_final]
+        assert finals, evs
+        # EN partials are only emitted on nonempty transcripts (the
+        # reference's is_update rule) and the final snapshots the
+        # transcript the partials built toward
+        pre = [e.text for e in evs[:evs.index(finals[0])]]
+        assert all(p.strip() for p in pre), evs
+        assert st.segment >= 1
+
+
 def test_en_beam_partials_matches_final_quality():
     """Beam-partials mode still produces a final per endpoint and the
-    final text equals the last partial (transcript_internal snapshot)."""
-    sched = make_en_beam_scheduler(seed=1)
+    final text extends the last partial (transcript_internal snapshot;
+    the endpoint tick itself may decode tokens the superseded partial
+    never carried, so prefix — not equality — is the invariant).
+    (host impl: its append-only hypothesis carry makes prefix a real
+    invariant; the device beam may revise earlier tokens.)"""
+    sched = make_en_beam_scheduler(seed=1, impl="host")
     s = sched.admit("en0")
     s.accept_waveform(speechy(1.5, seed=2))
     s.accept_waveform(np.zeros(16000, np.float32))
@@ -130,4 +187,4 @@ def test_en_beam_partials_matches_final_quality():
     assert len(finals) >= 1
     partial_texts = [e.text for e in events if not e.is_final]
     if partial_texts and finals[0].text:
-        assert finals[0].text == partial_texts[-1]
+        assert finals[0].text.startswith(partial_texts[-1])

@@ -147,6 +147,42 @@ def test_sharded_rnnt_step_matches():
     _tree_allclose(got.state, ref.state, rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_rnnt_beam_step_matches():
+    """EN device-beam mode (en_beam_width_device) shards: every BeamState
+    leaf rides the slot axis (parallel/serving.py pspecs), and the
+    sharded tick's pack equals the unsharded one."""
+    from asr_streaming_tpu.models.rnnt import RNNTConfig
+    from asr_streaming_tpu.utils.audio import EN_AUDIO
+    asr = dataclasses.replace(ASRConfig.tiny(), audio=EN_AUDIO)
+    cfg = ServingConfig(asr=asr, model_kind="rnnt", rnnt=RNNTConfig.tiny(),
+                        use_silero=False, max_emission_frames=64,
+                        en_beam_width_device=4, en_beam_cap=32)
+    params = init_serving_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_serving_mesh(8)
+    B = 8
+    rng = np.random.default_rng(3)
+    seg_len = cfg.asr.audio.segment_length
+    seg = jnp.asarray(rng.integers(-3000, 3000, (B, seg_len)), jnp.int16)
+    flags0 = jnp.zeros((B,), bool)
+    active = jnp.ones((B,), bool)
+    reset = jnp.ones((B,), bool)     # first tick: fresh beams
+
+    step_fn = make_serving_step(cfg)
+    state = init_serving_state(cfg, B)
+    ctx = init_audio_context(cfg, B)
+    em = init_emission_buffer(cfg, B)
+    ref = jax.jit(lambda *a: step_fn(params, cfg, *a))(
+        seg, flags0, active, flags0, reset, state, ctx, em)
+
+    sh_step = make_sharded_stepper(cfg, mesh, params, donate_state=False)
+    st, sctx, sem = shard_serving_arrays(
+        cfg, mesh, init_serving_state(cfg, B), init_audio_context(cfg, B),
+        init_emission_buffer(cfg, B))
+    got = sh_step(params, seg, flags0, active, flags0, reset, st, sctx, sem)
+    _tree_allclose(got.pack, ref.pack, rtol=1e-5, atol=1e-5)
+    _tree_allclose(got.state, ref.state, rtol=1e-5, atol=1e-5)
+
+
 def test_server_settings_data_parallel(tmp_path):
     """data_parallel flows YAML -> ServerSettings -> scheduler mesh."""
     from asr_streaming_tpu.server.config import ServerSettings

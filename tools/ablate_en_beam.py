@@ -1,33 +1,31 @@
 #!/usr/bin/env python
-"""Measure the opt-in en_beam_partials mode's per-stream cost (real TPU).
+"""Measure the EN per-chunk beam mode's cost (real TPU), all three impls.
 
-en_beam_partials runs the reference's exact pattern — a carried-
-hypothesis beam search on EVERY chunk (streaming_server.py:445) — as a
-host Python beam per stream per chunk, fetching that stream's device
-encodings via per-slot dynamic_slice + D2H (scheduler.py).  It exists
-for parity, not throughput; this harness records what it actually
-costs so the config can carry a measured max-streams guidance instead
-of a vibe.
+en_beam_partials replicates the reference's production EN decode — a
+carried-hypothesis beam search on EVERY chunk (streaming_server.py:445).
+Implementations:
+
+  * off     — default serving: batched device greedy partials +
+              beam-rescored finals (a different output contract from the
+              reference's per-chunk beam);
+  * device  — models/rnnt_beam.py: beam as a device batch axis inside
+              the fused serving step (the production per-chunk beam);
+  * host    — per-stream host oracle loop (parity/debug only).
 
 Method: EN scheduler at production model size (vocab 4097, encoding
-1024), random weights, N slots all fed active audio, en_beam_partials
-on vs off; report per-chunk host-scatter and full-tick medians and the
-implied RTF<=1 stream ceiling against the 0.16 s EN tick budget.
+1024), random weights, N slots all fed active audio; report tick
+medians and the implied RTF<=1 stream ceiling against the 0.16 s EN
+tick budget.
 
-MEASURED (v5e via the axon tunnel, 8 slots, beam 10): beam_off tick
-33 ms (ceiling ~38 streams at this tiny batch; 512-slot batched greedy
-measured 6.8 ms in BASELINE.md); beam_on tick ~69.5 s — ~8.7 s PER
-STREAM PER CHUNK.  The cost is the LINK, not the beam math: every
-hypothesis expansion calls the jitted predictor/joiner once (~30 ms
-RTT each) x beam 10 x up to 4+1 symbols x 4 frames.  On a local-PCIe
-host (~100 us dispatch) the same call count is ~50-200 ms/stream/chunk
-— usable for a handful of parity streams, never for fleet serving.
-Config guidance: en_beam_partials is a PARITY mode; keep max streams
-<= 4 per process on PCIe hosts, 0 on tunnel-attached dev boxes, and
-serve throughput with the default batched device greedy + beam-rescored
-finals.
+MEASURED r3 (v5e via the axon tunnel, 8 slots, beam 10): host impl
+~8.7 s PER STREAM PER CHUNK — the link, not the beam math: every
+hypothesis expansion is one jitted predictor/joiner dispatch (~30 ms
+RTT) x beam 10 x (max_symbols+1) x 4 frames.  The device impl exists
+because of that measurement: one dispatch per tick regardless of slot
+count.  Run with --slots 512 --impls off,device for the r4 headline.
 
-Usage: python tools/ablate_en_beam.py [--slots 8,16,32] [--beam 10]
+Usage: python tools/ablate_en_beam.py [--slots 8,512] [--beam 10]
+       [--impls off,device,host]
 """
 
 import argparse
@@ -42,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TICK_SECONDS = 0.16
 
 
-def measure(slots: int, beam_width: int, beam: bool, ticks: int = 30):
+def measure(slots: int, beam_width: int, impl: str, ticks: int = 30):
     import dataclasses
 
     import jax
@@ -69,7 +67,9 @@ def measure(slots: int, beam_width: int, beam: bool, ticks: int = 30):
     rules = {"never": EndpointRule(True, 1e9, 1e9, float("inf"))}
     sched = Scheduler(params, cfg, pieces, max_slots=slots,
                       language="en", rules=rules,
-                      en_beam_partials=beam, en_beam_width=beam_width)
+                      en_beam_partials=impl != "off",
+                      en_beam_width=beam_width,
+                      en_beam_impl=impl if impl != "off" else "device")
     rng = np.random.default_rng(0)
     chunk = EN_AUDIO.segment_length
     streams = [sched.admit(f"s{i}") for i in range(slots)]
@@ -87,11 +87,8 @@ def measure(slots: int, beam_width: int, beam: bool, ticks: int = 30):
     chunks = sched.timers.snapshot()["counters"]["chunks_processed"] - done0
     snap = sched.timers.snapshot()["stages"]
     tick_ms = elapsed * 1e3 / ticks
-    per_chunk_ms = elapsed * 1e3 / max(1, chunks)
     return {
         "tick_ms": round(tick_ms, 2),
-        "per_stream_chunk_ms": round(per_chunk_ms * slots / max(1, slots),
-                                     3) if chunks else 0.0,
         "host_scatter_p50_ms": round(snap.get("host_scatter",
                                               {"p50_ms": 0})["p50_ms"], 2),
         "device_step_p50_ms": round(snap.get("device_step",
@@ -107,24 +104,27 @@ def main() -> None:
     ap.add_argument("--slots", default="8")
     ap.add_argument("--beam", type=int, default=10)
     ap.add_argument("--ticks", type=int, default=30)
+    ap.add_argument("--impls", default="off,device",
+                    help="comma list of off,device,host")
     args = ap.parse_args()
 
     from asr_streaming_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
 
     for slots in (int(s) for s in args.slots.split(",")):
-        off = measure(slots, args.beam, beam=False, ticks=args.ticks)
-        # beam-on ticks are SECONDS each on a tunnel-attached host (the
-        # host beam pays one link RTT per hypothesis expansion) — a few
-        # ticks suffice for the per-stream overhead estimate
-        on = measure(slots, args.beam, beam=True,
-                     ticks=min(args.ticks, 4))
-        overhead = (on["tick_ms"] - off["tick_ms"]) / slots
-        print(f"slots={slots:4d} beam_off: tick {off['tick_ms']:7.2f} ms "
-              f"(ceiling ~{off['rtf1_stream_ceiling']} streams)")
-        print(f"            beam_on : tick {on['tick_ms']:7.2f} ms "
-              f"(ceiling ~{on['rtf1_stream_ceiling']} streams), "
-              f"beam overhead {overhead:.2f} ms/stream/chunk")
+        for impl in args.impls.split(","):
+            # host-impl ticks are SECONDS each on a tunnel-attached host
+            # (one link RTT per hypothesis expansion) — a few suffice
+            ticks = min(args.ticks, 4) if impl == "host" else args.ticks
+            r = measure(slots, args.beam, impl=impl, ticks=ticks)
+            budget = "inside" if r["tick_ms"] <= TICK_SECONDS * 1e3 \
+                else "OVER"
+            print(f"slots={slots:4d} impl={impl:6s} "
+                  f"tick {r['tick_ms']:8.2f} ms "
+                  f"(ceiling ~{r['rtf1_stream_ceiling']} streams; "
+                  f"{budget} the {TICK_SECONDS * 1e3:.0f} ms EN budget) "
+                  f"device_step_p50 {r['device_step_p50_ms']} ms "
+                  f"scatter_p50 {r['host_scatter_p50_ms']} ms")
 
 
 if __name__ == "__main__":
