@@ -114,6 +114,22 @@ def test_training_step_dp_tp_loss_matches_replicated():
     assert float(loss_sharded) == pytest.approx(float(loss_ref), rel=1e-4)
 
 
+def test_multiprocess_dryrun(capfd):
+    """The DCN story has an executable artifact: 2 jax.distributed
+    processes x 2 virtual CPU devices form one global mesh; a
+    data-parallel training step's gradient all-reduce and a sharded
+    serving tick's slot axis both cross the process boundary
+    (__graft_entry__._dryrun_multiprocess; the driver runs the same
+    path at 2x4 from dryrun_multichip)."""
+    import sys
+    sys.path.insert(0, ".")
+    import __graft_entry__
+    __graft_entry__._dryrun_multiprocess(4)
+    out = capfd.readouterr().out
+    assert "dryrun_multichip multiprocess: 2 procs x 2 devices" in out
+    assert "spanning the process boundary OK" in out
+
+
 def test_train_loss_decreases():
     """Few steps of CTC training on a tiny model reduce the loss."""
     from asr_streaming_tpu.models.emformer import EmformerConfig
