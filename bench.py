@@ -103,6 +103,77 @@ def wait_for_backend(budget_s: float = 1500.0, probe_s: float = 90.0) -> bool:
     return any(p.poll() == 0 for p in probes)
 
 
+def model_paced_trace(tick_s: float, slots: int, groups: int,
+                      seconds_b: float, tick_seconds: float):
+    """Deterministic replay of phase B's exact arrival schedule against a
+    grouped round-robin scheduler whose group tick costs ``tick_s`` —
+    the PCIe-basis wait model the exec term already has.  Mirrors
+    GroupedScheduler semantics: the chip serializes group ticks; a chunk
+    gathered at a tick's START is dispatched then (wait = t_start -
+    ready) and its events surface at the END of that group's NEXT tick
+    (depth-1 pipeline; end-of-tick is the conservative choice).  Streams
+    round-robin over groups exactly as phase B admits them.
+    Returns (wait_p50_ms, p50_ms)."""
+    n_rounds = int(seconds_b / tick_seconds)
+    arrivals: list = [[] for _ in range(groups)]
+    for k in range(n_rounds):
+        for i in range(slots):
+            arrivals[i % groups].append(
+                k * tick_seconds + (i / slots) * tick_seconds)
+    for g in range(groups):
+        arrivals[g].sort()
+    queues: list = [deque() for _ in range(groups)]
+    pending: list = [None] * groups          # (dispatch_t, [ready...])
+    idx = [0] * groups
+    waits: list = []
+    lats: list = []
+    t, nxt = 0.0, 0
+    for _ in range(10_000_000):              # bounded; ~n_rounds*groups
+        for g in range(groups):
+            while idx[g] < len(arrivals[g]) and arrivals[g][idx[g]] <= t:
+                queues[g].append(arrivals[g][idx[g]])
+                idx[g] += 1
+        ticked = False
+        for off in range(groups):
+            g = (nxt + off) % groups
+            if queues[g]:
+                batch = list(queues[g])
+                queues[g].clear()
+                t_start = t
+                t = t_start + tick_s
+                if pending[g]:
+                    d_t, prev = pending[g]
+                    for t_r in prev:
+                        waits.append(d_t - t_r)
+                        lats.append(t - t_r)
+                pending[g] = (t_start, batch)
+                nxt = (g + 1) % groups
+                ticked = True
+                break
+            if pending[g] and idx[g] >= len(arrivals[g]):
+                # drain: harvest-only visit, no new dispatch
+                d_t, prev = pending[g]
+                t_ev = max(t, d_t + tick_s)
+                for t_r in prev:
+                    waits.append(d_t - t_r)
+                    lats.append(t_ev - t_r)
+                pending[g] = None
+                t = t_ev
+                ticked = True
+                break
+        if ticked:
+            continue
+        future = [arrivals[g][idx[g]] for g in range(groups)
+                  if idx[g] < len(arrivals[g])]
+        if not future:
+            break
+        t = max(t, min(future))
+    return (round(float(np.percentile(np.asarray(waits) * 1e3, 50)), 2)
+            if waits else 0.0,
+            round(float(np.percentile(np.asarray(lats) * 1e3, 50)), 2)
+            if lats else 0.0)
+
+
 def main():
     import dataclasses
 
@@ -143,6 +214,19 @@ def main():
     cfg = ServingConfig(asr=asr_cfg, use_silero=True,
                         upload_encoding="mulaw")
     params = init_serving_params(jax.random.PRNGKey(0), cfg)
+    # trained VAD fixture (tools/make_bench_fixture.py): the paced phase
+    # then exercises LEARNED speech/silence gates — the production
+    # routing path — instead of arbitrary random-weight verdicts.  (The
+    # AM stays random: random logits emit MORE tokens per chunk than a
+    # trained model's confident blanks, so host scatter/detokenize work
+    # is an upper bound.)
+    weights_mode = "random"
+    fixture = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            "assets", "bench_vad.npz")
+    if _os.path.exists(fixture):
+        from asr_streaming_tpu.utils.checkpoint import load_params
+        params["vad"] = load_params(fixture, like=params["vad"])
+        weights_mode = "trained-vad-fixture (tools/make_bench_fixture.py)"
     sched = GroupedScheduler(params, cfg, vocab, max_slots=SLOTS,
                              groups=GROUPS, pipeline_depth=DEPTH)
 
@@ -284,36 +368,53 @@ def main():
                            "is best-of-degraded and NOT comparable")
 
     # ---------------- phase B: paced real-time latency
-    # The paced chunk must DECODE: with random VAD weights an arbitrary
-    # noise chunk can read as silence, in which case every slot skips
-    # the decode path forever (fresh slots have no contain_token) and
-    # zero events pair — the window measures nothing.  Probe candidate
-    # chunks against the live gate (the chunks_decoded counter) and pace
-    # with one the VAD passes: sustained active speech, the production
-    # worst case.
-    def find_decoding_chunk():
+    # The paced chunk is active speech (the production worst case: every
+    # slot on the decode path).  With the trained VAD fixture the gate is
+    # a LEARNED decision on this exact amplitude class — verified once
+    # through the live serving step; a failure here is a real gating
+    # regression, not bench noise.  (Round 3 probed 32 rng seeds for a
+    # chunk that happened to decode under random VAD weights; the
+    # fixture deleted that hack.)
+    def verified_speech_chunk():
         nonlocal streams
         for s in streams:                  # free the slots for the probe
             sched.release(s)
         streams = []
-        cand = None
-        for seed in range(32):
-            g = np.random.default_rng(10_000 + seed)
-            cand = (g.standard_normal(chunk_samples)
-                    * g.uniform(0.1, 0.5)).astype(np.float32)
-            s = sched.admit("probe0")
-            s.accept_waveform(cand)
-            before = sched.timers.snapshot()["counters"].get(
-                "chunks_decoded", 0)
-            sched.drain(max_ticks=8)
-            decoded = sched.timers.snapshot()["counters"].get(
-                "chunks_decoded", 0) - before
-            sched.release(s)
-            if decoded > 0:
-                return cand
-        return cand                        # gated windows will flag it
+        g = np.random.default_rng(10_000)
+        cand = (g.standard_normal(chunk_samples) * 0.25).astype(np.float32)
+        s = sched.admit("probe0")
+        s.accept_waveform(cand)
+        before = sched.timers.snapshot()["counters"].get(
+            "chunks_decoded", 0)
+        sched.drain(max_ticks=8)
+        decoded = sched.timers.snapshot()["counters"].get(
+            "chunks_decoded", 0) - before
+        sched.release(s)
+        if decoded == 0:
+            if "trained" in weights_mode:
+                raise AssertionError(
+                    "trained-VAD fixture gated out a 0.25-amplitude "
+                    "speech chunk it was trained to pass — gating "
+                    "regression (models/serving.py _vad_stage / "
+                    "tools/make_bench_fixture.py)")
+            # random-weight fallback: scan for a chunk the gate passes
+            for seed in range(1, 32):
+                g = np.random.default_rng(10_000 + seed)
+                cand = (g.standard_normal(chunk_samples)
+                        * g.uniform(0.1, 0.5)).astype(np.float32)
+                s = sched.admit("probe0")
+                s.accept_waveform(cand)
+                before = sched.timers.snapshot()["counters"].get(
+                    "chunks_decoded", 0)
+                sched.drain(max_ticks=8)
+                dec = sched.timers.snapshot()["counters"].get(
+                    "chunks_decoded", 0) - before
+                sched.release(s)
+                if dec > 0:
+                    break
+        return cand
 
-    chunk = find_decoding_chunk()
+    chunk = verified_speech_chunk()
 
     def paced_window():
         # fresh streams per window (like real connection churn): a new
@@ -442,32 +543,74 @@ def main():
     stage_p50 = {k: v["p50_ms"] for k, v in
                  sched.timers.snapshot()["stages"].items()}
 
-    # Defensible local-PCIe p50 bound: the measured scheduling wait (a
-    # tunnel-inflated, therefore conservative, number) + one group-step
-    # of pure device execution + the host gather/scatter stage medians +
-    # a 2 ms PCIe transfer allowance for the 2.6 MB mulaw upload and the
-    # ~20 KB result pack.  Every term is measured on this capture except
-    # the allowance.
-    pcie_bound_ms = round(
-        head_b["wait_p50_ms"] + device_exec_ms
-        + stage_p50.get("gather_upload", 0.0)
-        + stage_p50.get("host_scatter", 0.0)
-        + PCIE_LINK_ALLOWANCE_MS, 2)
+    # PCIe-equivalent group-tick: every term measured on this capture
+    # except the 2 ms transfer allowance (2.6 MB mulaw H2D + ~20 KB pack
+    # D2H on local PCIe).
+    pcie_tick_ms = (device_exec_ms
+                    + stage_p50.get("gather_upload", 0.0)
+                    + stage_p50.get("host_scatter", 0.0)
+                    + PCIE_LINK_ALLOWANCE_MS)
+
+    modeled_wait_p50, modeled_p50 = model_paced_trace(
+        pcie_tick_ms / 1e3, SLOTS, GROUPS, SECONDS_B, TICK_SECONDS)
+
+    # Defensible local-PCIe p50 bound: the full chunk-ready -> event
+    # replay (modeled_p50), in which BOTH terms have a PCIe basis — exec
+    # from the chained-dispatch measurement, queueing from the
+    # deterministic arrival-trace replay.  It is conservative twice
+    # over: the replay serializes device exec and host work (they
+    # overlap across groups on real hardware) and surfaces events only
+    # at end-of-tick.  The tunnel-measured wait variant is reported
+    # alongside (upper bound: its ticks embed the tunnel round trip).
+    pcie_bound_ms = modeled_p50
+    pcie_bound_tunnel_wait_ms = round(
+        head_b["wait_p50_ms"] + pcie_tick_ms, 2)
+
+    # Device-exec-derived capacity bound (the latency bound's throughput
+    # twin): the chip serializes group ticks, so chunk capacity is
+    # slots_per_group / tick and RTF<=1 streams = capacity * 0.64 s.
+    per_group = SLOTS // GROUPS
+    bound_pcie = per_group * TICK_SECONDS * 1e3 / pcie_tick_ms
+    tick_tunnel_ms = stage_p50.get("tick", 0.0)
+    bound_tunnel = (per_group * TICK_SECONDS * 1e3 / tick_tunnel_ms
+                    if tick_tunnel_ms else 0.0)
+    throughput_bound = {
+        "pcie_tick_ms": round(pcie_tick_ms, 2),
+        "bound_streams_pcie": int(bound_pcie),
+        "bound_streams_tunnel_tick": int(bound_tunnel),
+        "measured_over_tunnel_bound": round(
+            streams_rtf1 / bound_tunnel, 3) if bound_tunnel else 0.0,
+        "measured_over_pcie_bound": round(
+            streams_rtf1 / bound_pcie, 3) if bound_pcie else 0.0,
+        "how": "capacity = slots_per_group / group-tick; streams = "
+               "capacity * 0.64 s.  pcie basis uses the measured-exec "
+               "PCIe tick; tunnel basis uses this capture's measured "
+               "tick p50 — measured/tunnel_bound is scheduler "
+               "efficiency, measured/pcie_bound is the link gap",
+    }
+
     link_decomposition = {
         "device_exec_ms_per_group_step": device_exec_ms,
         "device_exec_batch": SLOTS // GROUPS,
         "rtt_during_exec_probe_ms": rtt_during_c,
-        "paced_wait_p50_ms": head_b["wait_p50_ms"],
+        "paced_wait_p50_ms_on_tunnel": head_b["wait_p50_ms"],
         "paced_service_p50_ms_on_tunnel": head_b["service_p50_ms"],
+        "modeled_wait_p50_ms_pcie": modeled_wait_p50,
+        "modeled_p50_ms_pcie": modeled_p50,
         "gather_host_p50_ms": stage_p50.get("gather_upload", 0.0),
         "scatter_host_p50_ms": stage_p50.get("host_scatter", 0.0),
         "pcie_link_allowance_ms": PCIE_LINK_ALLOWANCE_MS,
         "pcie_p50_bound_ms": pcie_bound_ms,
-        "how": "bound = wait_p50 (tunnel-measured, conservative) + "
-               "device_exec (chained-dispatch, link amortized) + host "
-               "gather/scatter p50 + 2 ms PCIe transfer allowance; "
-               "service_p50_on_tunnel - (device_exec + scatter) is the "
-               "tunnel's per-chunk contribution",
+        "pcie_p50_bound_tunnel_wait_ms": pcie_bound_tunnel_wait_ms,
+        "how": "pcie_tick = device_exec (chained-dispatch, link "
+               "amortized) + host gather/scatter p50 + 2 ms PCIe "
+               "transfer allowance; pcie_p50_bound = modeled_p50: the "
+               "paced arrival trace replayed end-to-end "
+               "(chunk-ready -> event) against pcie_tick, serialized "
+               "exec+host and end-of-tick events (conservative).  The "
+               "_tunnel_wait variant adds pcie_tick to the "
+               "tunnel-measured wait (upper bound: those ticks embed "
+               "the tunnel round trip)",
     }
 
     result = {
@@ -496,10 +639,12 @@ def main():
                         "not the framework)",
             },
             "link_decomposition": link_decomposition,
+            "throughput_bound": throughput_bound,
             "link_rtt_ms": {"start": rtt_at_start, "end": rtt_at_end},
             "compile_s": round(compile_s, 1),
             "tick_budget_ms": TICK_SECONDS * 1e3,
             "dtype": "bfloat16",
+            "weights": weights_mode,
             "vocab": len(vocab),
             "includes": "device step + host transfers + stream state "
                         "machines (full grouped scheduler)",
