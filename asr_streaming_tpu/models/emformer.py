@@ -90,6 +90,10 @@ class EmformerConfig:
                                     # 64=21.2ms, 128+=VMEM OOM >100MB)
     pallas_stack_tile: int = 32     # megakernel tile (v5e @512 slots:
                                     # 32=13.0ms, 64=14.5ms; 128 OOMs VMEM)
+    pallas_layers_per_step: int = 1  # megakernel: consecutive layers fused
+                                    # per grid step (cuts the serial grid
+                                    # from L*NT to L/P*NT steps; must
+                                    # divide num_layers)
     # FFN hidden-dim slices inside the megakernel: >1 splits the serial
     # MXU->VPU->MXU FFN chain into independent slices Mosaic can overlap
     # (slice s's matmul with slice s-1's activation).  v5e sweep below.
@@ -420,7 +424,8 @@ def emformer_stream_step(
             # ablated bottleneck) — measured sweeps in the config note
             quant=cfg.quant if cfg.quant in ("int8", "int8_ffn")
             else False,
-            ffn_slices=cfg.pallas_ffn_slices)
+            ffn_slices=cfg.pallas_ffn_slices,
+            layers_per_step=cfg.pallas_layers_per_step)
         new_length = length + jnp.int32(U)
         if advance is not None:
             new_length = jnp.where(advance, new_length, length)

@@ -453,7 +453,7 @@ def _stack_kernel(
     *rest,
     U: int, R: int, M: int, Lc: int, H: int, TB: int, use_mem: bool,
     tanh_on_mem: bool, neg_inf: float, activation: str, cdt,
-    quant: bool = False, ffn_slices: int = 1,
+    quant: bool = False, ffn_slices: int = 1, layers_per_step: int = 1,
 ):
     quant_names = _kernel_quant_names(quant)
     n_w = len(_WNAMES) + len(quant_names)
@@ -475,38 +475,42 @@ def _stack_kernel(
         if use_mem:
             memrow_s[ts] = jnp.mean(xf[:, :U], axis=1, keepdims=True)
 
-    # every stacked weight block has a leading layer dim of 1; vectors
-    # arrive as [1, 1, N] blocks -> [1, N] (the helper's convention)
-    w = {name: ref[0] for name, ref in zip(_WNAMES, w_refs)}
-    for name, ref in zip(quant_names, w_refs[len(_WNAMES):]):
-        w[name + "_s"] = ref[0]
+    # layers_per_step consecutive layers run back-to-back per grid step
+    # (blocks carry that many layers' weights/state; sub indexes within)
+    for sub in range(layers_per_step):
+        # every stacked weight block has a leading layer dim of
+        # layers_per_step; vectors arrive as [P, 1, N] blocks -> [1, N]
+        w = {name: ref[sub] for name, ref in zip(_WNAMES, w_refs)}
+        for name, ref in zip(quant_names, w_refs[len(_WNAMES):]):
+            w[name + "_s"] = ref[sub]
 
-    (new_utt, new_rc, new_mem_row, new_mem_state, new_lc_k,
-     new_lc_v) = _layer_math(
-        utt_s[ts], rc_s[ts], memrow_s[ts] if use_mem else None,
-        mem_ref[0], lc_k_ref[0], lc_v_ref[0],
-        len_ref[...], reset_ref[...], advance_ref[...], w,
-        U=U, R=R, M=M, Lc=Lc, H=H, use_mem=use_mem,
-        tanh_on_mem=tanh_on_mem, neg_inf=neg_inf, activation=activation,
-        cdt=cdt, state_dtype=out_lc_k_ref.dtype, quant_names=quant_names,
-        ffn_slices=ffn_slices)
+        (new_utt, new_rc, new_mem_row, new_mem_state, new_lc_k,
+         new_lc_v) = _layer_math(
+            utt_s[ts], rc_s[ts], memrow_s[ts] if use_mem else None,
+            mem_ref[sub], lc_k_ref[sub], lc_v_ref[sub],
+            len_ref[...], reset_ref[...], advance_ref[...], w,
+            U=U, R=R, M=M, Lc=Lc, H=H, use_mem=use_mem,
+            tanh_on_mem=tanh_on_mem, neg_inf=neg_inf,
+            activation=activation, cdt=cdt,
+            state_dtype=out_lc_k_ref.dtype, quant_names=quant_names,
+            ffn_slices=ffn_slices)
 
-    utt_s[ts] = new_utt
-    rc_s[ts] = new_rc
-    if use_mem:
-        memrow_s[ts] = new_mem_row
+        utt_s[ts] = new_utt
+        rc_s[ts] = new_rc
+        if use_mem:
+            memrow_s[ts] = new_mem_row
+        out_mem_ref[sub] = new_mem_state.astype(out_mem_ref.dtype)
+        out_lc_k_ref[sub] = new_lc_k
+        out_lc_v_ref[sub] = new_lc_v
     # y maps to batch tile i for every l; the last layer's write wins.
     y_ref[...] = new_utt
-    out_mem_ref[0] = new_mem_state.astype(out_mem_ref.dtype)
-    out_lc_k_ref[0] = new_lc_k
-    out_lc_v_ref[0] = new_lc_v
 
 
 @functools.partial(
     jax.jit, static_argnames=("U", "R", "M", "Lc", "H", "use_mem",
                               "tanh_on_mem", "neg_inf", "activation",
                               "cdt_name", "tile", "interpret", "quant",
-                              "ffn_slices"))
+                              "ffn_slices", "layers_per_step"))
 def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
                          lc_k: jax.Array, lc_v: jax.Array,
                          length: jax.Array, reset=None, advance=None, *,
@@ -514,7 +518,8 @@ def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
                          use_mem: bool, tanh_on_mem: bool, neg_inf: float,
                          activation: str, cdt_name: str = "bfloat16",
                          tile: int = 64, interpret: bool = False,
-                         quant: bool = False, ffn_slices: int = 1):
+                         quant: bool = False, ffn_slices: int = 1,
+                         layers_per_step: int = 1):
     """All-layer streaming Emformer step as one Pallas kernel.
 
     params: stacked layer params ([L, ...] leaves, as init_emformer_params
@@ -538,6 +543,9 @@ def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
     L = params["w_q"].shape[0]
     B = x.shape[0]
     D = x.shape[2]
+    if L % layers_per_step:
+        raise ValueError(
+            f"layers_per_step={layers_per_step} must divide L={L}")
     if reset is None:
         reset = jnp.zeros((B,), bool)
     if advance is None:
@@ -591,14 +599,15 @@ def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
     weights += [qs(pname[k]) for k in quant_names]
 
     def weight_spec(shape):
-        # one layer's block: [1, ...], indexed by the layer grid dim
+        # layers_per_step layers' block, indexed by the layer grid dim
         nd = len(shape)
-        return pl.BlockSpec((1,) + shape[1:],
+        return pl.BlockSpec((layers_per_step,) + shape[1:],
                             lambda l, i, nd=nd: (l,) + (0,) * (nd - 1),
                             memory_space=pltpu.VMEM)
 
     def state_spec(rows, dt_unused=None):
-        return pl.BlockSpec((1, TB, rows, D), lambda l, i: (l, i, 0, 0),
+        return pl.BlockSpec((layers_per_step, TB, rows, D),
+                            lambda l, i: (l, i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     mask_spec = pl.BlockSpec((TB, 1), lambda l, i: (i, 0),
@@ -626,11 +635,12 @@ def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
     kernel = functools.partial(
         _stack_kernel, U=U, R=R, M=M, Lc=Lc, H=H, TB=TB, use_mem=use_mem,
         tanh_on_mem=tanh_on_mem, neg_inf=neg_inf, activation=activation,
-        cdt=cdt, quant=quant, ffn_slices=ffn_slices)
+        cdt=cdt, quant=quant, ffn_slices=ffn_slices,
+        layers_per_step=layers_per_step)
 
     outs = pl.pallas_call(
         kernel,
-        grid=(L, NT),
+        grid=(L // layers_per_step, NT),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -640,7 +650,11 @@ def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
             pltpu.VMEM((B, 1, D), jnp.float32),    # memory-row carry
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024,
+            # layer dim: sequential (inter-layer activations flow through
+            # the VMEM scratch); tile dim: independent — lets Mosaic
+            # overlap tile i+1's state DMA with tile i's compute
+            dimension_semantics=("arbitrary", "parallel")),
         interpret=interpret,
     )(x.astype(jnp.float32), length.astype(jnp.int32).reshape(B, 1),
       reset.astype(jnp.int32).reshape(B, 1),

@@ -98,6 +98,22 @@ def test_stack_matches_per_layer_bitexact_bf16():
     np.testing.assert_array_equal(stS.mem, stL.mem)
 
 
+@pytest.mark.parametrize("p", [2, 4])
+def test_stack_layers_per_step_bitexact(p):
+    """pallas_layers_per_step fuses P consecutive layers per grid step
+    (same math, P fewer weight/state block fetches): bit-identical to
+    the P=1 megakernel in bf16, including carried state."""
+    cfg4 = dataclasses.replace(VI_CFG, num_layers=4)
+    base = _fused(cfg4, "stack", 2)
+    fused = dataclasses.replace(base, pallas_layers_per_step=p)
+    ys1, st1 = _run_steps(base, dtype=jnp.bfloat16)
+    ysP, stP = _run_steps(fused, dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(ysP, ys1)
+    np.testing.assert_array_equal(stP.lc_k, st1.lc_k)
+    np.testing.assert_array_equal(stP.lc_v, st1.lc_v)
+    np.testing.assert_array_equal(stP.mem, st1.mem)
+
+
 @pytest.mark.parametrize("mode", ["layer", "stack"])
 def test_fused_layer_lifecycle_masks(mode):
     """reset/advance masks fused in the kernel == the XLA oracle's
