@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from asr_streaming_tpu.models.rnnt import (
     PredictorState, RNNTConfig, joiner, predictor_step,
 )
+from asr_streaming_tpu.ops.topk import iter_topk, iter_topk_values
 
 # Scores are plain f32 log-probs; NEG marks dead beam slots.  Using a
 # large-finite sentinel (not -inf) keeps every arithmetic path NaN-free:
@@ -187,12 +188,15 @@ def _beam_frame(params: dict, cfg: RNNTConfig, enc_t: jax.Array,
             break
 
         # host parity: each hypothesis offers its top-kcap logp entries
-        # (blank included in the ranking, then dropped as a candidate)
-        th = jax.lax.top_k(logp, kcap)[0][..., -1]           # [B, W]
+        # (blank included in the ranking, then dropped as a candidate).
+        # iter_topk == lax.top_k bit-for-bit (tests/test_topk.py) without
+        # the full [B, W, V] batched sort lax.top_k lowers to (16.8 ms
+        # per call at 512x10x4097, NOTES_r4 §1).
+        th = iter_topk_values(logp, kcap)[..., -1]           # [B, W]
         cand = jnp.where(logp >= th[..., None],
                          act_score[..., None] + logp, NEG)
         cand = cand.at[..., cfg.blank].set(NEG)
-        top_sc, top_idx = jax.lax.top_k(cand.reshape(B, W * V), W)
+        top_sc, top_idx = iter_topk(cand.reshape(B, W * V), W)
         src = (top_idx // V).astype(jnp.int32)
         tok = (top_idx % V).astype(jnp.int32)
         keep = (top_sc >= run_max[:, None] - threshold) & \
@@ -246,12 +250,26 @@ def _beam_frame(params: dict, cfg: RNNTConfig, enc_t: jax.Array,
     app = jnp.take_along_axis(
         jnp.stack(fin_app, axis=1).reshape(B, F, -1),
         top_f[..., None], axis=1)                             # [B, W, K]
-    ph = jnp.stack(fin_ph, axis=2).reshape(L, B, F, -1)
-    pc = jnp.stack(fin_pc, axis=2).reshape(L, B, F, -1)
-    new_ph = jnp.take_along_axis(ph, top_f[None, :, :, None], axis=2)
-    new_pc = jnp.take_along_axis(pc, top_f[None, :, :, None], axis=2)
-    po = jnp.stack(fin_po, axis=1).reshape(B, F, -1)
-    new_po = jnp.take_along_axis(po, top_f[..., None], axis=1)
+    # Survivor predictor states: per-round masked gathers.  Stacking the
+    # round lists first ([L, B, F, H] for h and c) materializes ~400 MB
+    # per frame at 512x10 production shapes (NOTES_r4 §1); instead gather
+    # each round's [L, B, W, H] block by the survivor's within-round
+    # column and select by its round — the F-stacks never exist.
+    col = (top_f % W).astype(jnp.int32)                       # [B, W]
+    new_ph = new_pc = new_po = None
+    for k in range(K + 1):
+        g_ph = jnp.take_along_axis(fin_ph[k], col[None, :, :, None],
+                                   axis=2)
+        g_pc = jnp.take_along_axis(fin_pc[k], col[None, :, :, None],
+                                   axis=2)
+        g_po = jnp.take_along_axis(fin_po[k], col[..., None], axis=1)
+        if k == 0:
+            new_ph, new_pc, new_po = g_ph, g_pc, g_po
+        else:
+            in_k = (n_app == k)
+            new_ph = jnp.where(in_k[None, :, :, None], g_ph, new_ph)
+            new_pc = jnp.where(in_k[None, :, :, None], g_pc, new_pc)
+            new_po = jnp.where(in_k[..., None], g_po, new_po)
 
     # token buffers: survivor = entering parent's buffer + appended run
     par_buf = jnp.take_along_axis(bs.tokens, parent[..., None], axis=1)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Tuple
 
 import jax
@@ -650,7 +651,10 @@ def fused_emformer_stack(params: dict, x: jax.Array, mem: jax.Array,
             pltpu.VMEM((B, 1, D), jnp.float32),    # memory-row carry
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            # default 110 MB; ASR_PALLAS_VMEM_MB overrides for tile/P
+            # sweeps pressing toward v5e's physical ~128 MB
+            vmem_limit_bytes=int(os.environ.get(
+                "ASR_PALLAS_VMEM_MB", "110")) * 1024 * 1024,
             # layer dim: sequential (inter-layer activations flow through
             # the VMEM scratch); tile dim: independent — lets Mosaic
             # overlap tile i+1's state DMA with tile i's compute

@@ -80,15 +80,17 @@ def main():
                 quant = "int8_ffn"
             tile = int(parts[1]) if len(parts) > 1 else 64
             slices = int(parts[2]) if len(parts) > 2 else 1
+            lps = int(parts[3]) if len(parts) > 3 else 1
             cfg = EmformerConfig(compute_dtype=jnp.bfloat16,
                                  use_pallas_stack=True,
                                  pallas_stack_tile=tile,
                                  pallas_ffn_slices=slices,
+                                 pallas_layers_per_step=lps,
                                  quant=quant,
                                  d_model=args.d_model,
                                  num_heads=args.d_model // 64,
                                  ffn_dim=4 * args.d_model)
-            label = (f"stack tile={tile} ffn_slices={slices} "
+            label = (f"stack tile={tile} P={lps} "
                      f"quant={quant}")
         elif variant.startswith("pallas"):
             tile = int(variant.split(":")[1]) if ":" in variant else 64
@@ -100,23 +102,39 @@ def main():
             cfg = EmformerConfig(compute_dtype=jnp.bfloat16,
                                  scan_unroll=int(variant))
             label = f"scan_unroll={variant}"
-        params = init_emformer_params(jax.random.PRNGKey(0), cfg)
-        state = init_emformer_state(cfg, B)
-        x = jnp.asarray(rng.standard_normal(
-            (B, cfg.segment_length + cfg.right_context_length,
-             cfg.d_model)), jnp.float32)
-        # Params must be explicit jit ARGUMENTS: closure-captured arrays
-        # are inlined as literals into the compile payload (252 MB of
-        # MLIR for the 20-layer vi stack -> 15+ min remote compiles).
-        jstep = jax.jit(lambda p, x, s: emformer_stream_step(p, cfg, x, s))
-        params = jax.device_put(params)
-        step = lambda x, s: jstep(params, x, s)
-        t0 = time.perf_counter()
-        jax.block_until_ready(step(x, state))
-        compile_s = time.perf_counter() - t0
-        ms = timeit_chained(step, x, state)
-        print(f"{label:18s} B={B}: {ms:8.2f} ms/step "
-              f"(compile {compile_s:.0f}s)")
+        try:
+            _run_variant(args, cfg, label, B, rng)
+        except Exception as e:  # noqa: BLE001 — sweep continues past OOMs
+            msg = str(e).split("\n")[0][:200]
+            print(f"{label:18s} B={B}: FAILED ({type(e).__name__}: {msg})")
+
+
+def _run_variant(args, cfg, label, B, rng):
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from asr_streaming_tpu.models.emformer import (
+        init_emformer_params, init_emformer_state, emformer_stream_step,
+    )
+
+    params = init_emformer_params(jax.random.PRNGKey(0), cfg)
+    state = init_emformer_state(cfg, B)
+    x = jnp.asarray(rng.standard_normal(
+        (B, cfg.segment_length + cfg.right_context_length,
+         cfg.d_model)), jnp.float32)
+    # Params must be explicit jit ARGUMENTS: closure-captured arrays
+    # are inlined as literals into the compile payload (252 MB of
+    # MLIR for the 20-layer vi stack -> 15+ min remote compiles).
+    jstep = jax.jit(lambda p, x, s: emformer_stream_step(p, cfg, x, s))
+    params = jax.device_put(params)
+    step = lambda x, s: jstep(params, x, s)
+    t0 = time.perf_counter()
+    jax.block_until_ready(step(x, state))
+    compile_s = time.perf_counter() - t0
+    ms = timeit_chained(step, x, state)
+    print(f"{label:18s} B={B}: {ms:8.2f} ms/step "
+          f"(compile {compile_s:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":
