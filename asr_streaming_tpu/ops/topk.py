@@ -20,7 +20,15 @@ plus k tiny selection rounds:
      re-masked in the gathered copy — the big tensor is never written).
 
 Used by models/rnnt_beam.py; oracle-tested against lax.top_k (including
-tie and degenerate all-equal rows) in tests/test_topk.py.
+tie, all-equal, -inf and below--3e38 rows) in tests/test_topk.py.
+
+Input domain: any finite f32 values and -inf (padding and knockout are
+masked by POSITION, not by value sentinel, so pathological magnitudes
+cannot beat real candidates).  NaN inputs are NOT supported (equality
+selection would return index N for the affected rows); lax.top_k's own
+NaN ordering is backend-defined, so no parity target exists there.
+Rows containing -inf additionally require k <= 128 (one selection
+block) — beam callers use k = beam_width <= 50.
 """
 
 from __future__ import annotations
@@ -31,9 +39,7 @@ import jax
 import jax.numpy as jnp
 
 _BLOCK = 128
-# finite "minus infinity": comparisons stay NaN-free and padding can
-# never beat a real candidate (callers' sentinels are ~-1e30)
-_PAD = jnp.float32(-3.0e38)
+_NEG_INF = jnp.float32(-jnp.inf)
 
 
 def iter_topk(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
@@ -56,7 +62,7 @@ def iter_topk(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     NB = -(-N // _BLOCK)
     pad = NB * _BLOCK - N
     if pad:
-        xf = jnp.pad(xf, ((0, 0), (0, pad)), constant_values=_PAD)
+        xf = jnp.pad(xf, ((0, 0), (0, pad)), constant_values=-jnp.inf)
     xb = xf.reshape(R, NB, _BLOCK)
     bm = jnp.max(xb, axis=-1)                                  # [R, NB]
 
@@ -71,19 +77,23 @@ def iter_topk(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
                        axis=-1).astype(jnp.int32)
         block = jnp.take_along_axis(
             xb, bidx[:, None, None], axis=1)[:, 0]             # [R, 128]
-        # previous picks that live in this block are dead: re-mask them
-        # in the gathered copy (xb itself is never written)
+        # eligibility is POSITIONAL (no value sentinel): in-range lanes
+        # of this block that were not picked in a previous round.  Value
+        # masking here would break on rows whose real candidates equal
+        # the sentinel (-inf rows re-pick their own knockouts).
+        elig = (bidx[:, None] * _BLOCK + iota_bk) < N
         for pb, pw in picks:
-            block = jnp.where((pb == bidx)[:, None]
-                              & (iota_bk == pw[:, None]), _PAD, block)
-        widx = jnp.min(jnp.where(block == m[:, None], iota_bk, _BLOCK),
-                       axis=-1).astype(jnp.int32)
+            elig &= ~((pb == bidx)[:, None] & (iota_bk == pw[:, None]))
+        widx = jnp.min(
+            jnp.where((block == m[:, None]) & elig, iota_bk, _BLOCK),
+            axis=-1).astype(jnp.int32)
         vals.append(m)
         idxs.append(bidx * _BLOCK + widx)
         picks.append((bidx, widx))
         # knock the pick out of the bm cache: recompute this block's max
-        new_bm = jnp.max(jnp.where(iota_bk == widx[:, None], _PAD, block),
-                         axis=-1)
+        # over the remaining eligible lanes (xb itself is never written)
+        rem = elig & (iota_bk != widx[:, None])
+        new_bm = jnp.max(jnp.where(rem, block, _NEG_INF), axis=-1)
         bm = jnp.where(iota_nb == bidx[:, None], new_bm[:, None], bm)
 
     v = jnp.stack(vals, axis=-1).astype(x.dtype).reshape(*lead, k)

@@ -152,6 +152,8 @@ def build_server(settings, max_slots=None):
     sched_kwargs = dict(
         language=settings.language,
         rules=settings.endpoint_rules,
+        rulesets=settings.endpoint_rulesets,
+        mapping_rule=settings.mapping_rule,
         ngram_cost=settings.ngram_cost(),
         en_beam_partials=settings.en_beam_partials,
         en_beam_width=settings.en_beam_width,
@@ -191,20 +193,46 @@ def build_server(settings, max_slots=None):
         scheduler = Scheduler(params, cfg, vocab, max_slots=slots,
                               **sched_kwargs)
 
+    def _build_rescorer(lexicon_path, lm_path, **kwargs):
+        from asr_streaming_tpu.decode.beam_native import make_native_rescorer
+        r = make_native_rescorer(vocab, lexicon_path, lm_path, **kwargs)
+        if r is None:   # no compiler: python fallback
+            from asr_streaming_tpu.decode.beam import make_rescorer
+            r = make_rescorer(vocab, lexicon_path, lm_path, **kwargs)
+        return r
+
+    base_lm_kwargs = dict(
+        lm_weight=settings.lm_weight, beam_size=settings.beam_size,
+        beam_size_token=settings.beam_size_token,
+        beam_threshold=settings.beam_threshold,
+        word_score=settings.word_score)
     rescorer = None
     if settings.lexicon_path and settings.lm_path:
-        kwargs = dict(
-            lm_weight=settings.lm_weight, beam_size=settings.beam_size,
-            beam_size_token=settings.beam_size_token,
-            beam_threshold=settings.beam_threshold,
-            word_score=settings.word_score)
-        from asr_streaming_tpu.decode.beam_native import make_native_rescorer
-        rescorer = make_native_rescorer(
-            vocab, settings.lexicon_path, settings.lm_path, **kwargs)
-        if rescorer is None:   # no compiler: python fallback
-            from asr_streaming_tpu.decode.beam import make_rescorer
-            rescorer = make_rescorer(
-                vocab, settings.lexicon_path, settings.lm_path, **kwargs)
+        rescorer = _build_rescorer(settings.lexicon_path, settings.lm_path,
+                                   **base_lm_kwargs)
+    # the Linguistic_Model registry: one named rescorer per entry
+    # (reference streaming_server.py:165-169); each entry's own
+    # lm_weight/beam knobs override the flat defaults
+    rescorers = {}
+    for name, entry in (settings.lm_models or {}).items():
+        lex = entry.get("lexicon_path") or settings.lexicon_path
+        lm = entry.get("lm_path") or settings.lm_path
+        if not (lex and lm):
+            logging.warning("lm model %s: missing lexicon/lm — skipped",
+                            name)
+            continue
+        kw = dict(base_lm_kwargs)
+        kw.update({k: entry[k] for k in base_lm_kwargs if k in entry})
+        if (lex, lm) == (settings.lexicon_path, settings.lm_path) and \
+                kw == base_lm_kwargs and rescorer is not None:
+            rescorers[name] = rescorer     # share the already-built one
+        else:
+            rescorers[name] = _build_rescorer(lex, lm, **kw)
+    if rescorers:
+        logging.info("Loaded LM models: %s", sorted(rescorers))
+        if rescorer is None:
+            rescorer = rescorers.get("GENERAL") or \
+                next(iter(rescorers.values()))
 
     normalizer = None
     if settings.norm_url:
@@ -281,7 +309,8 @@ def build_server(settings, max_slots=None):
                                          cfg.rnnt, vocab)
 
     return StreamingServer(
-        scheduler, rescorer=rescorer, normalizer=normalizer,
+        scheduler, rescorer=rescorer, rescorers=rescorers,
+        normalizer=normalizer,
         en_rescorer=en_rescorer,
         speaker_verifier=speaker_verifier,
         doc_root=settings.doc_root, certificate=settings.certificate,

@@ -105,26 +105,45 @@ def _apply_reference_layout(s: "ServerSettings", blob: Dict[str, Any],
                 "en_global_stats")
 
     ling = blob.get("Linguistic_Model") or {}
-    # first non-empty ruleset (the reference instantiates one decoder per
-    # key; GENERAL is the only key its shipped configs define); a nulled
-    # section degrades instead of crashing
-    lm_cfg = next((v for v in ling.values() if isinstance(v, dict)), {})
-    if lm_cfg:
-        corpus = blob.get("corpus_dir")
-        if lm_cfg.get("lexicon") and not s.lexicon_path:
-            s.lexicon_path = _existing_path(
+    # the reference instantiates ONE BeamSearchDecoder per named key and
+    # selects per stream via stream.sw_model (streaming_server.py:165-169,
+    # 511-513); load the whole registry.  GENERAL (or the first key) also
+    # populates the flat lexicon_path/lm_path fields for the single-LM
+    # fast path; a nulled section degrades instead of crashing.
+    corpus = blob.get("corpus_dir")
+    for name, lm_cfg in ling.items():
+        if not isinstance(lm_cfg, dict):
+            continue
+        entry: Dict[str, Any] = {}
+        if lm_cfg.get("lexicon"):
+            entry["lexicon_path"] = _existing_path(
                 [os.path.join(corpus, lm_cfg["lexicon"]) if corpus else None,
-                 lm_cfg["lexicon"]], "lexicon_path")
-        if lm_cfg.get("lm") and not s.lm_path:
-            s.lm_path = _existing_path(
+                 lm_cfg["lexicon"]], f"lexicon_path ({name})")
+        if lm_cfg.get("lm"):
+            entry["lm_path"] = _existing_path(
                 [os.path.join(corpus, lm_cfg["lm"]) if corpus else None,
-                 lm_cfg["lm"]], "lm_path")
+                 lm_cfg["lm"]], f"lm_path ({name})")
+        for key in ("lm_weight", "beam_size", "beam_size_token",
+                    "beam_threshold", "word_score"):
+            if key in lm_cfg:
+                entry[key] = lm_cfg[key]
+        s.lm_models[name] = entry
+    lm_cfg = (s.lm_models.get("GENERAL")
+              or next(iter(s.lm_models.values()), {}))
+    if lm_cfg:
+        if lm_cfg.get("lexicon_path") and not s.lexicon_path:
+            s.lexicon_path = lm_cfg["lexicon_path"]
+        if lm_cfg.get("lm_path") and not s.lm_path:
+            s.lm_path = lm_cfg["lm_path"]
         for key in ("lm_weight", "beam_size", "beam_size_token",
                     "beam_threshold", "word_score"):
             # explicit top-level framework keys win over the mapped
             # section (the documented overlay contract)
             if key in lm_cfg and key not in blob:
                 setattr(s, key, lm_cfg[key])
+    if isinstance(blob.get("Mapping_rule"), dict):
+        # model name -> endpoint ruleset name (reference stream.py:61,139)
+        s.mapping_rule = dict(blob["Mapping_rule"])
 
     if blob.get("LM_Endpointing") and not s.lm_endpointing_path:
         s.lm_endpointing_path = _existing_path(
@@ -185,6 +204,17 @@ class ServerSettings:
     audio: AudioConfig = dataclasses.field(default_factory=lambda: VI_AUDIO)
     endpoint_rules: Dict = dataclasses.field(
         default_factory=lambda: VI_DEFAULT_RULES)
+    # Multi-LM registry (reference streaming_server.py:165-169): named
+    # rescorer configs, each entry {lexicon_path, lm_path, lm_weight,
+    # beam_size, beam_size_token, beam_threshold, word_score}.  Empty
+    # means single-LM mode via the flat lexicon_path/lm_path fields.
+    lm_models: Dict = dataclasses.field(default_factory=dict)
+    # Named endpoint rulesets (reference asr-online.yaml Endpointing_rules
+    # keys) and the model-name -> ruleset-name map (Mapping_rule,
+    # reference stream.py:61,139).  endpoint_rules stays the DEFAULT set.
+    endpoint_rulesets: Dict = dataclasses.field(default_factory=dict)
+    mapping_rule: Dict = dataclasses.field(
+        default_factory=lambda: {"GENERAL": "DEFAULT"})
     use_silero: bool = True
     upload_encoding: str = "mulaw"   # "int16" | "mulaw" (halved tick bytes)
     quant: str = "none"              # "int8": W8A8 projections/FFN inside
@@ -264,15 +294,33 @@ class ServerSettings:
                 bias=a.get("bias", 4),
                 framerate=a.get("framerate", 4))
         if "Endpointing_rules" in blob:
-            # reference layout: {ruleset: {rule: {...}}}; use the DEFAULT set
+            # reference layout: {ruleset: {rule: {...}}} — EVERY named
+            # ruleset loads (stream.py:62-64 builds EndpointingRule per
+            # key); endpoint_rules keeps the DEFAULT (or first) set for
+            # streams whose sw_model maps nowhere
             rules = blob["Endpointing_rules"]
-            ruleset = rules.get("DEFAULT", next(iter(rules.values())))
-            ruleset = {k: {kk: (math.inf if vv == ".inf" else vv)
-                           for kk, vv in v.items()}
-                       for k, v in ruleset.items()}
-            s.endpoint_rules = load_endpoint_rules(ruleset)
+            for name, ruleset in rules.items():
+                ruleset = {k: {kk: (math.inf if vv == ".inf" else vv)
+                               for kk, vv in v.items()}
+                           for k, v in ruleset.items()}
+                s.endpoint_rulesets[name] = load_endpoint_rules(ruleset)
+            s.endpoint_rules = (
+                s.endpoint_rulesets.get("DEFAULT")
+                or next(iter(s.endpoint_rulesets.values())))
         if "endpoint_rules" in blob:
             s.endpoint_rules = load_endpoint_rules(blob["endpoint_rules"])
+        if isinstance(blob.get("endpoint_rulesets"), dict):
+            # framework layout twin of Endpointing_rules
+            for name, ruleset in blob["endpoint_rulesets"].items():
+                s.endpoint_rulesets[name] = load_endpoint_rules(ruleset)
+        if isinstance(blob.get("lm_models"), dict):
+            # framework layout twin of Linguistic_Model: already-resolved
+            # {name: {lexicon_path, lm_path, ...}} entries
+            for name, entry in blob["lm_models"].items():
+                if isinstance(entry, dict):
+                    s.lm_models[name] = dict(entry)
+        if isinstance(blob.get("mapping_rule"), dict):
+            s.mapping_rule = dict(blob["mapping_rule"])
         norm_port = env.get("NORM_PORT")
         if norm_port and not s.norm_url:
             s.norm_url = f"http://localhost:{norm_port}/cleanoutput"

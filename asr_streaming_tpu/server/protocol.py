@@ -84,6 +84,7 @@ def hypotheses_en(transcript: str) -> dict:
 # ---------------------------------------------------------------- commands
 
 CMD_SET_AUDIO_FORMAT = "__SET_AUDIO_FORMAT__"
+CMD_SET_LM_MODEL = "__SET_LM_MODEL__"
 CMD_EOS = "__EOS__"
 MSG_REQUEST_COMPLETED = "__REQUEST_COMPLETED__"
 EOS_STRINGS = {"Done", "EOS", "__EOS__"}
@@ -91,9 +92,14 @@ EOS_STRINGS = {"Done", "EOS", "__EOS__"}
 
 @dataclasses.dataclass
 class Command:
-    kind: str                    # "set_format" | "eos" | "unknown"
+    kind: str          # "set_format" | "set_lm_model" | "eos" | "unknown"
     request_id: str = ""
     sample_rate: Optional[int] = None
+    lm_model: Optional[str] = None   # Linguistic_Model registry key; sets
+                                     # stream.sw_model (reference
+                                     # stream.py:32 defaults GENERAL; the
+                                     # reference ships no setter — this is
+                                     # the v1-protocol carrier for it)
 
 
 def parse_text_message(text: str) -> Command:
@@ -113,4 +119,10 @@ def parse_text_message(text: str) -> Command:
         return Command(kind="set_format",
                        request_id=str(blob.get("request-id", "")),
                        sample_rate=arg.get("sample_rate"))
+    if cmd == CMD_SET_LM_MODEL:
+        arg = blob.get("__ARGUMENT__", {}) or {}
+        model = arg.get("model") if isinstance(arg, dict) else arg
+        return Command(kind="set_lm_model",
+                       request_id=str(blob.get("request-id", "")),
+                       lm_model=str(model) if model else None)
     return Command(kind="unknown")

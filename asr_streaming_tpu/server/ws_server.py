@@ -71,9 +71,14 @@ class StreamingServer:
         tick_idle_sleep: float = 0.005,
         save_audio_dir: Optional[str] = None,
         en_rescorer: Optional[Callable[[FinalSegment], str]] = None,
+        rescorers: Optional[dict] = None,
     ):
         self.scheduler = scheduler
         self.rescorer = rescorer
+        # named Linguistic_Model registry (reference streaming_server.py:
+        # 165-169): finals pick rescorers[stream.sw_model], falling back
+        # to the single `rescorer` for unknown names
+        self.rescorers = rescorers or {}
         self.normalizer = normalizer
         self.speaker_verifier = speaker_verifier
         self.static = StaticFiles(doc_root)
@@ -252,6 +257,28 @@ class StreamingServer:
                             resampler = StreamingResampler(
                                 cmd.sample_rate,
                                 self.scheduler.cfg.asr.audio.sample_rate)
+                    elif cmd.kind == "set_lm_model":
+                        # select the stream's Linguistic_Model registry
+                        # entry (rescorer + endpoint ruleset via
+                        # Mapping_rule); unknown names keep the current
+                        # model and tell the client
+                        known = (cmd.lm_model in self.rescorers
+                                 or cmd.lm_model in stream.rulesets
+                                 or cmd.lm_model in stream.mapping_rule)
+                        if cmd.lm_model and known:
+                            stream.sw_model = cmd.lm_model
+                        else:
+                            logger.warning(
+                                "%s: unknown lm model %r (have %s)",
+                                stream_id, cmd.lm_model,
+                                sorted(self.rescorers) or ["GENERAL"])
+                            result = DecodedResult()
+                            result.id = (getattr(stream, "client_id", None)
+                                         or stream_id)
+                            result.status = 1
+                            result.msg = (f"unknown lm model "
+                                          f"{cmd.lm_model!r}")
+                            await connection.send(result.to_json())
                     elif cmd.kind == "eos":
                         stream.is_eos = True
                         stream.add_tail_padding()
@@ -363,9 +390,16 @@ class StreamingServer:
         loop = asyncio.get_running_loop()
         stream, seg = ev.stream, ev.segment
 
-        if self.rescorer is not None and seg is not None and seg.length > 0:
+        # per-stream rescorer from the Linguistic_Model registry
+        # (reference streaming_server.py:511-513: list_searcher[
+        # stream.sw_model] at every final); single-LM fallback otherwise
+        rescorer = self.rescorer
+        if self.rescorers and stream is not None:
+            rescorer = self.rescorers.get(
+                getattr(stream, "sw_model", "GENERAL"), self.rescorer)
+        if rescorer is not None and seg is not None and seg.length > 0:
             alignment = await loop.run_in_executor(
-                self._rescore_pool, self.rescorer, seg)
+                self._rescore_pool, rescorer, seg)
         else:
             alignment = []
 

@@ -76,6 +76,8 @@ class Scheduler:
                  language: str = "vi",
                  rules: Optional[dict] = None,
                  ngram_cost: Optional[NgramEndpointCost] = None,
+                 rulesets: Optional[dict] = None,
+                 mapping_rule: Optional[dict] = None,
                  donate_state: bool = True,
                  en_beam_partials: bool = False,
                  en_beam_width: int = 10,
@@ -102,6 +104,8 @@ class Scheduler:
         self.language = language
         self.rules = rules
         self.ngram_cost = ngram_cost
+        self.rulesets = rulesets
+        self.mapping_rule = mapping_rule
 
         # EN opt-in: run the carried-hypothesis beam search on EVERY
         # chunk (the reference's pattern, streaming_server.py:445) instead
@@ -337,7 +341,9 @@ class Scheduler:
         stream = Stream(self.cfg.asr.audio, self.vocab,
                         language=self.language, rules=self.rules,
                         ngram_cost=self.ngram_cost, stream_id=stream_id,
-                        keep_emission=False)  # emissions live on device
+                        keep_emission=False,  # emissions live on device
+                        rulesets=self.rulesets,
+                        mapping_rule=self.mapping_rule)
         stream._slot = slot
         self.streams[slot] = stream
         self._needs_reset[slot] = True

@@ -50,10 +50,19 @@ class Stream:
                  ngram_cost: Optional[NgramEndpointCost] = None,
                  stream_id: str = "",
                  keep_audio_total: bool = True,
-                 keep_emission: bool = True):
+                 keep_emission: bool = True,
+                 rulesets: Optional[dict] = None,
+                 mapping_rule: Optional[dict] = None):
         self.audio = audio
         self.language = language
         self.rules = rules if rules is not None else VI_DEFAULT_RULES
+        # Multi-LM registry (reference stream.py:32,61,139): sw_model
+        # names the stream's rescorer; mapping_rule maps it to one of the
+        # named endpoint rulesets.  Unmapped / unknown names fall back to
+        # self.rules (the DEFAULT set).
+        self.sw_model = "GENERAL"
+        self.rulesets = rulesets or {}
+        self.mapping_rule = mapping_rule or {}
         self.ngram_cost = ngram_cost or NgramEndpointCost()
         self.id = stream_id
         self.keep_audio_total = keep_audio_total
@@ -226,8 +235,13 @@ class Stream:
                              / self.audio.sample_rate)
         relative_cost = self.ngram_cost.relative_cost(self.transcript_internal)
         self.trailing_blank_duration = round(self.trailing_blank_duration, 2)
+        # per-model ruleset (reference stream.py:139: EndpointingRule[
+        # mapping_endpointing_rule[sw_model]]); DEFAULT rules otherwise
+        rules = self.rulesets.get(
+            self.mapping_rule.get(self.sw_model), self.rules) \
+            if self.rulesets else self.rules
         detected, _rule = detect_endpointing(
-            self.rules, utterance_seconds, self.trailing_blank_duration,
+            rules, utterance_seconds, self.trailing_blank_duration,
             relative_cost)
         if detected:
             self.segment_end = self.trailing_blank_duration

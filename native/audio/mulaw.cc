@@ -5,8 +5,9 @@
 // encode (quantize + 64K-LUT fancy index) costs ~50 ms for a full
 // 512-slot tick on this host; the scalar C++ LUT loop does the same
 // work in ~6 ms, and the AVX-512 path below (clamp/convert in vector
-// registers + vpgatherdd over the padded LUT) in ~2 ms.  This VM has a
-// single CPU, so SIMD — not threads — is the only host-side lever.
+// registers + vpgatherdd over the padded LUT) in ~2 ms.  The gather
+// entry points additionally fan rows out over threads when the host has
+// cores (serving rigs do — the dev VM's single CPU stays serial).
 // Exactly matches the Python LUT path bit for bit: the table below is
 // built with the identical formula, and the vector float pipeline
 // (mul, clamp, truncating convert) mirrors the scalar one op for op.
@@ -22,7 +23,10 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 #if defined(__AVX512F__) && defined(__AVX512BW__)
 #include <immintrin.h>
@@ -112,6 +116,49 @@ void pcm16_row(const float* x, int16_t* out, int64_t n) {
   for (; i < n; ++i) out[i] = pcm16_one(x[i]);
 }
 
+// Row-parallel fan-out for the gather-encode calls: the encode is the
+// scheduler's hot host stage (gather_upload, ~37% of the PCIe tick at
+// 256 rows measured in r4), rows are independent, and serving hosts
+// have cores to spare (the reference allots 12 CPUs per worker,
+// docker-compose.yml:23-32).  Serial when the machine (or
+// ASR_CODEC_THREADS) says 1 — thread spawn would only add overhead.
+static int encode_threads(int64_t rows) {
+  static int configured = [] {
+    const char* e = std::getenv("ASR_CODEC_THREADS");
+    if (e && *e) {
+      int v = std::atoi(e);
+      return v > 0 ? v : 1;
+    }
+    unsigned hc = std::thread::hardware_concurrency();
+    int v = hc ? (int)hc : 1;
+    return v > 8 ? 8 : v;   // 8 threads saturate DRAM write bandwidth
+  }();
+  int t = configured;
+  if ((int64_t)t > rows / 16) t = (int)(rows / 16);  // >=16 rows/thread
+  return t < 1 ? 1 : t;
+}
+
+template <typename Fn>
+static void parallel_rows(int64_t rows, Fn fn) {
+  int nt = encode_threads(rows);
+  if (nt <= 1) {
+    fn(0, rows);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nt - 1);
+  int64_t chunk = (rows + nt - 1) / nt;
+  for (int t = 1; t < nt; ++t) {
+    int64_t lo = t * chunk, hi = lo + chunk;
+    if (lo >= rows) break;
+    if (hi > rows) hi = rows;
+    ts.emplace_back(fn, lo, hi);
+  }
+  fn(0, chunk < rows ? chunk : rows);
+  for (auto& th : ts) th.join();
+}
+
+
 }  // namespace
 
 extern "C" {
@@ -133,17 +180,21 @@ void asr_pcm16_encode(const float* x, int16_t* out, int64_t n) {
 void asr_mulaw_gather_encode(const uint64_t* srcs, uint8_t* out,
                              const int32_t* slots, int64_t rows,
                              int64_t cols, int64_t out_stride) {
-  for (int64_t r = 0; r < rows; ++r)
-    mulaw_row((const float*)(uintptr_t)srcs[r],
-              out + (int64_t)slots[r] * out_stride, cols);
+  parallel_rows(rows, [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r)
+      mulaw_row((const float*)(uintptr_t)srcs[r],
+                out + (int64_t)slots[r] * out_stride, cols);
+  });
 }
 
 void asr_pcm16_gather_encode(const uint64_t* srcs, int16_t* out,
                              const int32_t* slots, int64_t rows,
                              int64_t cols, int64_t out_stride) {
-  for (int64_t r = 0; r < rows; ++r)
-    pcm16_row((const float*)(uintptr_t)srcs[r],
-              out + (int64_t)slots[r] * out_stride, cols);
+  parallel_rows(rows, [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r)
+      pcm16_row((const float*)(uintptr_t)srcs[r],
+                out + (int64_t)slots[r] * out_stride, cols);
+  });
 }
 
 }  // extern "C"

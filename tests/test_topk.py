@@ -60,3 +60,26 @@ def test_under_jit_and_1d():
     av, ai = f(x)
     np.testing.assert_array_equal(np.asarray(ev), np.asarray(av))
     np.testing.assert_array_equal(np.asarray(ei), np.asarray(ai))
+
+
+def test_neg_inf_and_below_sentinel_rows():
+    # ADVICE r4: value-sentinel padding let pads win on -inf / <-3e38
+    # rows (out-of-range indices).  Masking is positional now.
+    x = np.full((5, 300), -np.inf, np.float32)
+    x[0, [2, 250]] = [-3.1e38, -3.3e38]   # below the old -3.0e38 sentinel
+    x[1, 7] = -1.0                        # one live entry, rest -inf
+    x[2, :] = -np.inf                     # fully -inf row
+    x[3, 299] = 0.5                       # live entry in the padded block
+    x[4, [0, 128, 256]] = -3.2e38         # ties below the old sentinel
+    v, i = iter_topk(jnp.asarray(x), 6)
+    iv = np.asarray(i)
+    assert iv.max() < 300 and iv.min() >= 0
+    ev, ei = jax.lax.top_k(jnp.asarray(x), 6)
+    np.testing.assert_array_equal(np.asarray(ev), np.asarray(v))
+    np.testing.assert_array_equal(np.asarray(ei), iv)
+
+
+def test_all_neg_inf_indices_are_a_permutation():
+    # every value equal: lax.top_k returns ascending indices; so must we
+    x = jnp.full((2, 130), -jnp.inf, jnp.float32)
+    _check(x, 5)

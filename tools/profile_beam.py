@@ -13,8 +13,10 @@ the per-frame budget can be attributed op family by op family:
   frame        one _beam_frame (all K+1 rounds + dedupe + gathers)
   chunk        the full 4-frame scan (what serving pays per tick)
 
-Chained-dispatch timing (state fed back) with a single scalar drain, so
-tunnel RTT amortizes across reps — same methodology as profile_step.py.
+Timing re-dispatches the same inputs (NOT state-chained like
+profile_step.py — per-op attribution needs fixed inputs) with one
+block_until_ready drain at the end, so tunnel RTT amortizes across reps.
+The compile figure is the first call timed separately.
 
 Usage: python tools/profile_beam.py [--slots 512] [--beam 10] [--reps 10]
 """
@@ -30,16 +32,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _time(fn, *args, reps=10, warmup=2):
+    """Returns (steady_ms, compile_s): the first call is timed alone
+    (it pays tracing + XLA compilation), then ``warmup-1`` discarded
+    calls absorb remote program-load jitter before the measured reps."""
     import jax
-    out = None
-    for _ in range(warmup):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    for _ in range(max(warmup - 1, 0)):
         out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) * 1e3 / reps
+    return (time.perf_counter() - t0) * 1e3 / reps, compile_s
 
 
 def main():
@@ -102,10 +110,8 @@ def main():
     print(f"B={B} W={W} V={V} K={cfg.max_symbols_per_frame} U={U}",
           flush=True)
     for name, fn in rows:
-        t0 = time.perf_counter()
-        ms = fn()
-        compile_s = time.perf_counter() - t0 - ms * (args.reps + 2) / 1e3
-        print(f"{name:11s} {ms:8.2f} ms  (compile {max(compile_s, 0):.0f}s)",
+        ms, compile_s = fn()
+        print(f"{name:11s} {ms:8.2f} ms  (compile {compile_s:.0f}s)",
               flush=True)
 
 
