@@ -262,7 +262,8 @@ class StreamingServer:
                         # entry (rescorer + endpoint ruleset via
                         # Mapping_rule); unknown names keep the current
                         # model and tell the client
-                        known = (cmd.lm_model in self.rescorers
+                        known = (cmd.lm_model == "GENERAL"
+                                 or cmd.lm_model in self.rescorers
                                  or cmd.lm_model in stream.rulesets
                                  or cmd.lm_model in stream.mapping_rule)
                         if cmd.lm_model and known:
