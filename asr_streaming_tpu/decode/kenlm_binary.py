@@ -5,7 +5,9 @@ The reference's production rescorer loads a KenLM *binary* LM — config
 consumed through flashlight's ``ctc_decoder`` (reference:
 lightspeech/models/recognition.py:236-245).  To make that asset a drop-in
 here, this module implements KenLM's on-disk PROBING format (the default
-``build_binary`` data structure, format version 5):
+``build_binary`` data structure, format version 5) and its REST_PROBING
+sibling (model_type 1 — entries widened by one f32 rest cost that
+full-context scoring never reads):
 
   [Sanity header]          88 bytes: magic string (53 bytes, 8-aligned to
                            56) + float/int endianness probes
@@ -46,8 +48,9 @@ match them).
 
 TRIE-family binaries (model_type 2/3: sorted-vocab bit-packed arrays,
 optional quantization tables) load through the companion module
-``decode/kenlm_trie.py``; the Bhiksha ARRAY variants (4/5) are detected
-and rejected with a precise message.  ``load_lm`` routes by model type.
+``decode/kenlm_trie.py``; only the Bhiksha ARRAY variants (4/5) remain
+detected-and-rejected with a precise message.  ``load_lm`` routes by
+model type.
 
 The writer exists so deployments (and tests) can build the binary twin
 of any text ARPA without KenLM installed: the native C++ reader
@@ -183,10 +186,21 @@ def write_probing(arpa_path: str, out_path: str,
 
 def write_probing_from(arpa: "_Arpa", out_path: str,
                        probing_multiplier: float = 1.5,
-                       include_vocab_strings: bool = True) -> None:
+                       include_vocab_strings: bool = True,
+                       model_type: int = 0) -> None:
     """write_probing from an in-memory n-gram table (used by the TRIE
-    reader's trie->probing conversion, decode/kenlm_trie.py)."""
+    reader's trie->probing conversion, decode/kenlm_trie.py).
+
+    model_type 1 writes the REST_PROBING layout (``build_binary
+    rest_probing``): unigram and middle entries carry a third f32 — the
+    rest cost (lm/weights.hh RestWeights {prob, backoff, rest},
+    packed to 4).  Full-context scoring never reads rest (it exists for
+    KenLM's incomplete-context FullScoreForgotState API), so this writer
+    stores prob as a placeholder rest value; real build_binary computes
+    lower-order rest estimates there.  The READER side ignores the field
+    entirely, so a real rest_probing artifact scores identically."""
     order = arpa.order
+    rest = model_type == 1
     counts = list(arpa.counts)
 
     # word ids: <unk> is always 0; other words numbered in ARPA unigram
@@ -214,7 +228,7 @@ def write_probing_from(arpa: "_Arpa", out_path: str,
     out += struct.pack("<Q", 1)
     assert len(out) == _SANITY_SIZE
     # ---- FixedWidthParameters + counts
-    out += _PARAMS.pack(order, probing_multiplier, 0,
+    out += _PARAMS.pack(order, probing_multiplier, model_type,
                         1 if include_vocab_strings else 0, 0)
     for c in counts:
         out += struct.pack("<Q", c)
@@ -238,16 +252,24 @@ def write_probing_from(arpa: "_Arpa", out_path: str,
             slot = (slot + 1) % vb
     out += vtable
 
-    # ---- Unigram array: (counts[0] + 1) ProbBackoff entries by id
-    uni = bytearray((counts[0] + 1) * 8)
-    uni[0:8] = struct.pack("<ff", *unk_values)
+    # ---- Unigram array: (counts[0] + 1) entries by id — ProbBackoff
+    # (8 B) for PROBING, RestWeights {prob, backoff, rest} (12 B) for
+    # REST_PROBING
+    ustride = 12 if rest else 8
+    uni = bytearray((counts[0] + 1) * ustride)
+
+    def pack_uni(lp, bo):
+        return (struct.pack("<fff", lp, bo, lp) if rest
+                else struct.pack("<ff", lp, bo))
+
+    uni[0:ustride] = pack_uni(*unk_values)
     by_word = {w: (lp, bo) for (w,), lp, bo in
                ((g[0], g[1], g[2]) for g in arpa.grams[0])}
     for wid, w in enumerate(id_word):
         if wid == 0:
             continue
         lp, bo = by_word[w]
-        uni[wid * 8:wid * 8 + 8] = struct.pack("<ff", lp, bo)
+        uni[wid * ustride:(wid + 1) * ustride] = pack_uni(lp, bo)
     out += uni
 
     # ---- middle + longest probing tables
@@ -267,12 +289,14 @@ def write_probing_from(arpa: "_Arpa", out_path: str,
     def ids_of(words: Tuple[str, ...]) -> List[int]:
         return [word_id.get(w, 0) for w in words]
 
+    mid_size = 20 if rest else 16
+    mid_pack = ((lambda k, p: struct.pack("<Qfff", k, p[0], p[1], p[0]))
+                if rest else
+                (lambda k, p: struct.pack("<Qff", k, p[0], p[1])))
     for n in range(2, order):
         entries = [(chained_key(ids_of(words)), (lp, bo))
                    for words, lp, bo in arpa.grams[n - 1]]
-        out += fill_table(
-            entries, 16,
-            lambda k, p: struct.pack("<Qff", k, p[0], p[1]))
+        out += fill_table(entries, mid_size, mid_pack)
     if order > 1:
         entries = [(chained_key(ids_of(words)), lp)
                    for words, lp, _ in arpa.grams[order - 1]]
@@ -348,13 +372,6 @@ def read_header(data: bytes) -> Header:
         raise ValueError(
             f"unknown KenLM model type {model_type}; known types are "
             f"{sorted(MODEL_TYPES.values())}")
-    if model_type == 1:
-        # REST_PROBING stores lower-order REST costs in place of plain
-        # probabilities for non-longest orders — loading it as plain
-        # backoff would silently change scores.
-        raise ValueError(
-            "KenLM REST_PROBING binaries store rest costs, not plain "
-            "backoff weights; rebuild as PROBING (build_binary default)")
     data_offset = _align8(_SANITY_SIZE + _PARAMS.size + 8 * order)
     return Header(order=order, probing_multiplier=mult,
                   model_type=model_type, has_vocabulary=bool(has_vocab),
@@ -397,15 +414,24 @@ class KenLMBinary:
             self._data = f.read()
         data = memoryview(self._data)
         h = read_header(self._data)
-        if h.model_type != 0:
+        if h.model_type not in (0, 1):
             raise ValueError(
                 f"KenLM model type {MODEL_TYPES[h.model_type]} is not a "
-                "PROBING binary; open through load_lm (TRIE/QUANT_TRIE "
-                "route to decode.kenlm_trie.KenLMTrie; Bhiksha ARRAY "
-                "variants must be rebuilt or converted from the text "
-                "ARPA with tools/build_lm.py)")
+                "PROBING-family binary; open through load_lm "
+                "(TRIE/QUANT_TRIE route to decode.kenlm_trie.KenLMTrie; "
+                "Bhiksha ARRAY variants must be rebuilt or converted "
+                "from the text ARPA with tools/build_lm.py)")
         self.header = h
         self.order = h.order
+        # REST_PROBING (model_type 1) carries an extra f32 rest cost in
+        # unigram and middle entries (lm/weights.hh RestWeights, packed
+        # to 4).  prob/backoff occupy the same leading bytes and rest is
+        # only consumed by KenLM's incomplete-context API, so standard
+        # full-context scoring ignores it — this reader just widens the
+        # strides.
+        self._rest = h.model_type == 1
+        self._ustride = 12 if self._rest else 8
+        self._mid_size = 20 if self._rest else 16
         off = h.data_offset
 
         _version, self.bound = struct.unpack_from("<II", data, off)
@@ -414,15 +440,17 @@ class KenLMBinary:
         self._vocab_table = _ProbingTable(data[off:off + vb * 12], 12, vb)
         off += vb * 12
 
-        self._unigram = data[off:off + (h.counts[0] + 1) * 8]
-        off += (h.counts[0] + 1) * 8
+        us = self._ustride
+        self._unigram = data[off:off + (h.counts[0] + 1) * us]
+        off += (h.counts[0] + 1) * us
 
         self._middles: List[_ProbingTable] = []
+        ms = self._mid_size
         for n in range(2, h.order):
             nb = _buckets(h.counts[n - 1], h.probing_multiplier)
             self._middles.append(
-                _ProbingTable(data[off:off + nb * 16], 16, nb))
-            off += nb * 16
+                _ProbingTable(data[off:off + nb * ms], ms, nb))
+            off += nb * ms
         self._longest = None
         if h.order > 1:
             nb = _buckets(h.counts[h.order - 1], h.probing_multiplier)
@@ -450,7 +478,8 @@ class KenLMBinary:
         return wid
 
     def _uni(self, wid: int) -> Tuple[float, float]:
-        lp, bo = struct.unpack_from("<ff", self._unigram, wid * 8)
+        lp, bo = struct.unpack_from("<ff", self._unigram,
+                                    wid * self._ustride)
         return lp, bo
 
     def _lookup(self, ids: Sequence[int]) -> Optional[Tuple[float, float]]:

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from asr_streaming_tpu.models.rnnt import (
     PredictorState, RNNTConfig, joiner, predictor_step,
 )
-from asr_streaming_tpu.ops.topk import iter_topk, iter_topk_values
+from asr_streaming_tpu.ops.topk import iter_topk
 
 # Scores are plain f32 log-probs; NEG marks dead beam slots.  Using a
 # large-finite sentinel (not -inf) keeps every arithmetic path NaN-free:
@@ -189,16 +189,32 @@ def _beam_frame(params: dict, cfg: RNNTConfig, enc_t: jax.Array,
 
         # host parity: each hypothesis offers its top-kcap logp entries
         # (blank included in the ranking, then dropped as a candidate).
-        # iter_topk == lax.top_k bit-for-bit (tests/test_topk.py) without
-        # the full [B, W, V] batched sort lax.top_k lowers to (16.8 ms
-        # per call at 512x10x4097, NOTES_r4 §1).
-        th = iter_topk_values(logp, kcap)[..., -1]           # [B, W]
-        cand = jnp.where(logp >= th[..., None],
-                         act_score[..., None] + logp, NEG)
-        cand = cand.at[..., cfg.blank].set(NEG)
-        top_sc, top_idx = iter_topk(cand.reshape(B, W * V), W)
-        src = (top_idx // V).astype(jnp.int32)
-        tok = (top_idx % V).astype(jnp.int32)
+        #
+        # The oracle's two-pass shape — mask cand[B, W, V] to entries
+        # >= each row's kcap-th value, then flat top-W over [B, W*V] —
+        # is here collapsed to ONE row top-k plus a flat top-W over the
+        # tiny [B, W*kcap] survivor table.  This is EXACT, ties included:
+        # any flat winner must be inside its row's top-kcap BY THE ROW
+        # ORDER (value desc, tie -> lowest index) — if kcap row entries
+        # beat it in row order they also beat it in flat order (higher
+        # value, or equal value at lower flat index), contradiction —
+        # and both tie orders agree (within a row, equal values sort by
+        # ascending index in both spaces; across rows, by row).  The
+        # [B, W, V] candidate tensor is never materialized and the wide
+        # flat pass (3.6 ms at 512x10, NOTES_r5) disappears.  iter_topk
+        # == lax.top_k bit-for-bit (tests/test_topk.py) without the full
+        # batched sort lax.top_k lowers to.  (A Pallas top-k kernel
+        # exists — ops/pallas_topk.py — and is ~40% faster standalone,
+        # but as a fusion BARRIER it doubled the measured frame cost
+        # here: XLA fuses iter_topk's first block-max pass into the
+        # joiner/log_softmax producers, which the kernel cannot.)
+        row_v, row_i = iter_topk(logp, kcap)           # [B, W, kcap]
+        cand_sm = act_score[..., None] + row_v
+        cand_sm = jnp.where(row_i == cfg.blank, NEG, cand_sm)
+        top_sc, flat = iter_topk(cand_sm.reshape(B, W * kcap), W)
+        src = (flat // kcap).astype(jnp.int32)
+        tok = jnp.take_along_axis(row_i.reshape(B, W * kcap), flat,
+                                  axis=1).astype(jnp.int32)
         keep = (top_sc >= run_max[:, None] - threshold) & \
                (top_sc > VALID_FLOOR)
         act_score = jnp.where(keep, top_sc, NEG)

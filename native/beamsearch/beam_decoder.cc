@@ -191,15 +191,20 @@ class KenLMProbing : public LmBase {
     std::memcpy(&model_type, p + 8, 4);
     unsigned char has_vocab;
     std::memcpy(&has_vocab, p + 12, 1);
-    if (model_type != 0) {
+    if (model_type != 0 && model_type != 1) {
       *error = "KenLM model type " + std::to_string(model_type) +
-               " unsupported natively (only PROBING=0 here; TRIE=2 / "
-               "QUANT_TRIE=3 auto-convert through the Python binding, "
-               "decode/kenlm_trie.py ensure_native_lm; REST/Bhiksha "
-               "binaries must be rebuilt as probing or converted from "
-               "text ARPA with tools/build_lm.py)";
+               " unsupported natively (PROBING=0 and REST_PROBING=1 "
+               "here; TRIE=2 / QUANT_TRIE=3 auto-convert through the "
+               "Python binding, decode/kenlm_trie.py ensure_native_lm; "
+               "Bhiksha ARRAY binaries must be rebuilt as probing or "
+               "converted from text ARPA with tools/build_lm.py)";
       return nullptr;
     }
+    // REST_PROBING widens unigram/middle entries by one f32 rest cost
+    // (lm/weights.hh RestWeights); prob/backoff stay in the leading
+    // bytes and full-context scoring never reads rest.
+    lm->uni_stride_ = model_type == 1 ? 12 : 8;
+    lm->mid_size_ = model_type == 1 ? 20 : 16;
     if (!has_vocab) {
       *error = "KenLM binary was built without vocabulary strings "
                "(build_binary default includes them); word-level "
@@ -222,13 +227,13 @@ class KenLMProbing : public LmBase {
 
     // unigram
     lm->unigram_off_ = off;
-    off += (counts[0] + 1) * 8;
+    off += (counts[0] + 1) * lm->uni_stride_;
 
     // middles + longest
     for (int n = 2; n < lm->order; ++n) {
       uint64_t nb = Buckets(counts[n - 1], multiplier);
       lm->middles_.push_back({off, nb});
-      off += nb * 16;
+      off += nb * lm->mid_size_;
     }
     if (lm->order > 1) {
       uint64_t nb = Buckets(counts[lm->order - 1], multiplier);
@@ -308,7 +313,8 @@ class KenLMProbing : public LmBase {
     if (n == 1) {
       if (ids[0] >= bound_) return false;
       float pb[2];
-      std::memcpy(pb, data_.data() + unigram_off_ + (size_t)ids[0] * 8, 8);
+      std::memcpy(pb, data_.data() + unigram_off_ +
+                          (size_t)ids[0] * uni_stride_, 8);
       *prob = pb[0];
       *backoff = pb[1];
       return true;
@@ -321,7 +327,7 @@ class KenLMProbing : public LmBase {
       *backoff = 0.f;
       return true;
     }
-    size_t off = Find(middles_[n - 2], 16, key);
+    size_t off = Find(middles_[n - 2], mid_size_, key);
     if (off == SIZE_MAX) return false;
     float pb[2];
     std::memcpy(pb, data_.data() + off + 8, 8);
@@ -340,13 +346,16 @@ class KenLMProbing : public LmBase {
     }
     uint32_t wid = ids[0] < bound_ ? ids[0] : 0u;
     float pb[2];
-    std::memcpy(pb, data_.data() + unigram_off_ + (size_t)wid * 8, 8);
+    std::memcpy(pb, data_.data() + unigram_off_ +
+                        (size_t)wid * uni_stride_, 8);
     return pb[0] * (float)kLog10;
   }
 
   std::vector<char> data_;
   std::unordered_map<std::string, uint32_t> word_ids_;
   size_t unigram_off_ = 0;
+  size_t uni_stride_ = 8;
+  size_t mid_size_ = 16;
   uint32_t bound_ = 0;
   std::vector<Table> middles_;
   Table longest_{0, 1};

@@ -111,10 +111,10 @@ def test_header_fields(lm_pair):
     assert struct.unpack_from("<fff", data, 56) == (0.0, 1.0, -0.5)
 
 
-def test_rejects_trie_and_rest(lm_pair, tmp_path):
+def test_rejects_trie_and_bhiksha(lm_pair, tmp_path):
     _, bin_path = lm_pair
     data = bytearray(open(bin_path, "rb").read())
-    for model_type, needle in ((2, "TRIE"), (1, "rest costs"),
+    for model_type, needle in ((2, "TRIE"),
                                (5, "QUANT_ARRAY_TRIE")):
         mutated = bytearray(data)
         struct.pack_into("<i", mutated, _SANITY_SIZE + 8, model_type)
@@ -122,6 +122,32 @@ def test_rejects_trie_and_rest(lm_pair, tmp_path):
         p.write_bytes(bytes(mutated))
         with pytest.raises(ValueError, match=needle):
             KenLMBinary(str(p))
+
+
+def test_rest_probing_scores_like_probing(lm_pair, tmp_path):
+    """model_type 1 (REST_PROBING) loads and scores identically to the
+    PROBING twin: rest costs widen the strides but never enter
+    full-context scoring (VERDICT r4 #7)."""
+    from asr_streaming_tpu.decode.kenlm_binary import (
+        _parse_arpa, sniff, write_probing_from,
+    )
+    arpa_path, bin_path = lm_pair
+    rest_path = tmp_path / "rest.bin"
+    write_probing_from(_parse_arpa(arpa_path), str(rest_path),
+                       model_type=1)
+    assert sniff(str(rest_path)) == "REST_PROBING"
+    plain = KenLMBinary(bin_path)
+    rest = KenLMBinary(str(rest_path))
+    words = [w for w in plain.words if w not in ("<unk>",)][:8]
+    words += ["zzz-oov", "<s>"]
+    for w in words:
+        sp, stp = plain.score(plain.start_state(), w)
+        sr, str_ = rest.score(rest.start_state(), w)
+        assert sp == sr
+        for w2 in words[:4]:
+            a = plain.score(stp, w2)
+            b = rest.score(str_, w2)
+            assert a[0] == b[0]
 
 
 def test_rejects_bad_magic_and_sanity(lm_pair, tmp_path):

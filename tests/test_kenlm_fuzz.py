@@ -135,9 +135,11 @@ def test_fuzz_families_agree(seed, tmp_path):
     arpa = _random_arpa(rng)
 
     probing = str(tmp_path / "lm.bin")
+    rest = str(tmp_path / "lm.rest")
     trie = str(tmp_path / "lm.trie")
     qtrie = str(tmp_path / "lm.qtrie")
     write_probing_from(arpa, probing)
+    write_probing_from(arpa, rest, model_type=1)   # REST_PROBING layout
     write_trie_from(arpa, trie)
     write_trie_from(arpa, qtrie, quantize=True)
 
@@ -156,6 +158,7 @@ def test_fuzz_families_agree(seed, tmp_path):
 
     text = ArpaLM.from_arpa(str(arpa_path))
     p = KenLMBinary(probing)
+    r = KenLMBinary(rest)
     t = KenLMTrie(trie)
     q = KenLMTrie(qtrie)
 
@@ -163,12 +166,14 @@ def test_fuzz_families_agree(seed, tmp_path):
     iv = _queries(rng, arpa, with_oov=False)
     ref = _score_all(text, iv)
     _assert_close(ref, _score_all(p, iv), "text-vs-probing", seed, iv)
+    _assert_close(ref, _score_all(r, iv), "text-vs-rest-probing", seed, iv)
     _assert_close(ref, _score_all(t, iv), "text-vs-trie", seed, iv)
     _assert_close(ref, _score_all(q, iv), "text-vs-qtrie", seed, iv)
 
     # ---- OOV queries: binary readers agree with each other (id-0 fold)
     ov = _queries(rng, arpa, with_oov=True)
     pref = _score_all(p, ov)
+    _assert_close(pref, _score_all(r, ov), "probing-vs-rest-oov", seed, ov)
     _assert_close(pref, _score_all(t, ov), "probing-vs-trie-oov", seed, ov)
     _assert_close(pref, _score_all(q, ov), "probing-vs-qtrie-oov", seed, ov)
 

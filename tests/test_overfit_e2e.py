@@ -98,9 +98,34 @@ def _labels(s: str) -> list:
 def trained():
     """Overfit the tiny model on the tone sentences.  Returns
     (cfg, trained asr params, final loss, golden sentence) where the
-    golden sentence greedy-decodes exactly at both stream alignments."""
+    golden sentence greedy-decodes exactly at both stream alignments.
+
+    Fast path: the committed asset (assets/test_fixtures/overfit_ctc.npz,
+    tools/make_test_fixtures.py) is loaded and its golden property
+    RE-VERIFIED on this host — exact greedy decode at both alignments,
+    the same acceptance that gated training.  Verification failure (code
+    drift, host float divergence) falls back to training."""
     cfg = ASRConfig.tiny(vocab_size=len(VOCAB))
     probe = init_asr_params(jax.random.PRNGKey(0), cfg)
+
+    from tests.fixture_assets import load_asset
+    asset = load_asset("overfit_ctc", like=probe)
+    if asset is not None:
+        params, meta = asset
+        golden = meta["golden"]
+        lead0 = cfg.audio.buffer_length / SR
+
+        def _decode_at(off):
+            w = np.stack([_sentence_audio(golden, lead=off)])
+            f = log_mel(params["frontend"], cfg.mel, jnp.asarray(w))
+            lp, _ = encoder_forward(params["encoder"], cfg.encoder, f)
+            return greedy_search_full(np.asarray(lp)[0], VOCAB)[0].strip()
+
+        if _decode_at(0.0) == golden and _decode_at(lead0) == golden:
+            return cfg, params, float(meta["loss"]), golden
+        import logging
+        logging.getLogger(__name__).warning(
+            "overfit_ctc asset failed re-verification — retraining")
 
     # Each sentence at lead offsets {0, 0.2 s}: the serving ring buffer
     # prepends buffer_length (=0.2 s) of zeros, shifting the chunk/tone
@@ -665,6 +690,21 @@ def trained_vad(trained):
     assert labels.any() and not labels.all()
 
     vcfg = VadTrainConfig(base_lr=3e-3)
+
+    def _chunk_decisions_ok(params):
+        probs = np.asarray(silero_chunk_probs(params, vcfg.silero,
+                                              jnp.asarray(waves)))
+        return ((probs > 0.5).any(axis=1)
+                == labels.astype(bool).any(axis=1)).all()
+
+    from tests.fixture_assets import load_asset
+    asset = load_asset("overfit_ctc_vad")
+    if asset is not None:
+        vparams, meta = asset
+        vparams = jax.tree.map(jnp.asarray, vparams)
+        if _chunk_decisions_ok(vparams):
+            return vparams, float(meta["loss"])
+
     for seed in (0, 1, 2):
         params, loss = train_vad(waves, labels, vcfg, steps=250, seed=seed)
         probs = np.asarray(silero_chunk_probs(params, vcfg.silero,

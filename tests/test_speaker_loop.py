@@ -112,6 +112,18 @@ def trained_speaker():
     feats = np.asarray(log_mel(mel_params, mel, jnp.asarray(waves)))
     feat_lens = np.full(len(waves), feats.shape[1], np.int32)
 
+    from tests.fixture_assets import load_asset
+    asset = load_asset(
+        "speaker_loop",
+        like=init_speaker_params(jax.random.PRNGKey(0), cfg)["ecapa"])
+    if asset is not None:
+        eparams, meta = asset
+        eparams = jax.tree.map(jnp.asarray, eparams)
+        gap, threshold, _a, _b = _gap(eparams, cfg.ecapa)
+        if gap >= 0.35:
+            return (jax.tree.map(np.asarray, eparams), cfg.ecapa,
+                    float(meta["loss"]), gap, threshold)
+
     optimizer = optax.adamw(2e-3, weight_decay=1e-4)
     step = jax.jit(make_speaker_train_step(cfg, optimizer))
     for seed in (0, 1, 2):

@@ -69,6 +69,7 @@ def main():
     from asr_streaming_tpu.models.rnnt_beam import (
         _beam_frame, init_beam_state, rnnt_beam_chunk_step,
     )
+    from asr_streaming_tpu.ops.pallas_topk import pallas_row_topk
     from asr_streaming_tpu.ops.topk import iter_topk, iter_topk_values
 
     cfg = RNNTConfig()
@@ -92,6 +93,7 @@ def main():
     jj = jax.jit(lambda p, e, q: joiner(p, e[:, None, :], q))
     jls = jax.jit(lambda x: jax.nn.log_softmax(x, axis=-1))
     jtr = jax.jit(lambda x: iter_topk_values(x, W))
+    jtp = jax.jit(lambda x: pallas_row_topk(x, W))
     jtf = jax.jit(lambda x: iter_topk(x.reshape(B, W * V), W))
     jpr = jax.jit(lambda p, t, s: predictor_step(p, t, s, cfg))
     jfr = jax.jit(lambda p, e, s: _beam_frame(p, cfg, e, s, 10.0))
@@ -101,7 +103,8 @@ def main():
     rows = [
         ("joiner", lambda: _time(jj, params, enc_t, po, reps=r)),
         ("logsoftmax", lambda: _time(jls, logits, reps=r)),
-        ("topk_row", lambda: _time(jtr, logp, reps=r)),
+        ("topk_iter", lambda: _time(jtr, logp, reps=r)),
+        ("topk_pallas", lambda: _time(jtp, logp, reps=r)),
         ("topk_flat", lambda: _time(jtf, logp, reps=r)),
         ("predictor", lambda: _time(jpr, params, tok, ps, reps=r)),
         ("frame", lambda: _time(jfr, params, enc_t, state, reps=r)),
