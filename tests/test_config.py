@@ -87,4 +87,6 @@ def test_shipped_production_configs():
     assert len(en.endpoint_rules) == 4
     assert en.endpoint_rules["rule4"].min_utterance_length == 30.0
     assert en.audio.segment_size == 16 and en.audio.framerate == 1
-    assert en.en_beam_partials is False and en.en_beam_width == 10
+    # r5: per-chunk beam partials are the EN default — the reference's
+    # only EN decode mode (streaming_server.py:441-465)
+    assert en.en_beam_partials is True and en.en_beam_width == 10
