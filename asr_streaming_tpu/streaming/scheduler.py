@@ -450,6 +450,13 @@ class Scheduler:
                         scaled = np.clip(self._seg_f32 * 32767.0,
                                          -32768, 32767)
                         staging[:] = scaled.astype(np.int16)
+            # host-only share (scan + pop views + native encode): this
+            # is the gather cost a local-PCIe host pays — the upload
+            # DISPATCH below is timed separately because on the dev
+            # tunnel it embeds link round-trip cost that a PCIe host's
+            # transfer allowance already budgets (bench.py pcie_tick)
+            self.timers.observe("gather_encode",
+                                time.perf_counter() - t_gather)
             if self.worker is None:
                 seg_dev = jnp.asarray(staging)   # async H2D copy starts
             else:
