@@ -187,22 +187,31 @@ def _beam_frame(params: dict, cfg: RNNTConfig, enc_t: jax.Array,
         if k == K:
             break
 
-        # host parity: each hypothesis offers its top-kcap logp entries
-        # (blank included in the ranking, then dropped as a candidate).
+        # host parity: each hypothesis offers EXACTLY its top-kcap logp
+        # entries — blank included in the ranking, then dropped as a
+        # candidate, so a blank in the top-kcap consumes one slot.  That
+        # is the oracle's own semantics (models/rnnt.py::step_chunk:
+        # np.argpartition(logp, -k)[-k:], an exact-k selection whose tie
+        # membership is arbitrary; iter_topk's ties -> lowest index is a
+        # deterministic refinement).  NOTE: r4's device code used a
+        # threshold mask (logp >= kcap-th value), which kept EXTRA
+        # entries tying the boundary — tie-INCLUSIVE, which the oracle
+        # never was; exact f32 logp ties at the kcap boundary are the
+        # only inputs where the behaviors can differ, and this exact-k
+        # form is the faithful one.
         #
-        # The oracle's two-pass shape — mask cand[B, W, V] to entries
-        # >= each row's kcap-th value, then flat top-W over [B, W*V] —
-        # is here collapsed to ONE row top-k plus a flat top-W over the
-        # tiny [B, W*kcap] survivor table.  This is EXACT, ties included:
-        # any flat winner must be inside its row's top-kcap BY THE ROW
-        # ORDER (value desc, tie -> lowest index) — if kcap row entries
-        # beat it in row order they also beat it in flat order (higher
-        # value, or equal value at lower flat index), contradiction —
-        # and both tie orders agree (within a row, equal values sort by
-        # ascending index in both spaces; across rows, by row).  The
-        # [B, W, V] candidate tensor is never materialized and the wide
-        # flat pass (3.6 ms at 512x10, NOTES_r5) disappears.  iter_topk
-        # == lax.top_k bit-for-bit (tests/test_topk.py) without the full
+        # The r4 two-pass shape (threshold-mask cand[B, W, V], flat
+        # top-W over [B, W*V]) is collapsed to ONE row top-k plus a flat
+        # top-W over the tiny [B, W*kcap] survivor table.  For exact-k
+        # preselection this loses nothing: any flat winner must be
+        # inside its row's top-kcap by the row order (if kcap row
+        # entries beat it in row order — higher value, or equal value at
+        # lower index — they also beat it in flat order), and both tie
+        # orders agree (within a row, equal values sort by ascending
+        # index in both spaces; across rows, by row).  The [B, W, V]
+        # candidate tensor is never materialized and the wide flat pass
+        # (3.6 ms at 512x10, NOTES_r5) disappears.  iter_topk ==
+        # lax.top_k bit-for-bit (tests/test_topk.py) without the full
         # batched sort lax.top_k lowers to.  (A Pallas top-k kernel
         # exists — ops/pallas_topk.py — and is ~40% faster standalone,
         # but as a fusion BARRIER it doubled the measured frame cost

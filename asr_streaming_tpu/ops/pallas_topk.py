@@ -37,13 +37,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Imported EAGERLY: ops.topk builds module-level jnp constants at import
-# time, and a lazy import inside row_topk would execute that during the
-# caller's jit TRACE — observed to corrupt the traced program's buffer
-# layout under donation ("supplied 58 buffers but compiled program
-# expected 63") on the CPU backend.
-from asr_streaming_tpu.ops.topk import iter_topk
-
 _LANE = 128
 
 
@@ -123,14 +116,3 @@ def pallas_row_topk(x: jax.Array, k: int, tile: int = 128,
     return (v.reshape(*lead, k).astype(x.dtype),
             i.reshape(*lead, k))
 
-
-def row_topk(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
-    """Backend dispatch: the Pallas kernel on TPU, iter_topk elsewhere
-    (Mosaic kernels do not lower on the CPU test backend)."""
-    try:
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        on_tpu = False
-    if on_tpu:
-        return pallas_row_topk(x, k)
-    return iter_topk(x, k)

@@ -128,8 +128,8 @@ def _apply_reference_layout(s: "ServerSettings", blob: Dict[str, Any],
             if key in lm_cfg:
                 entry[key] = lm_cfg[key]
         s.lm_models[name] = entry
-    lm_cfg = (s.lm_models.get("GENERAL")
-              or next(iter(s.lm_models.values()), {}))
+    lm_cfg = (s.lm_models["GENERAL"] if "GENERAL" in s.lm_models
+              else next(iter(s.lm_models.values()), {}))
     if lm_cfg:
         if lm_cfg.get("lexicon_path") and not s.lexicon_path:
             s.lexicon_path = lm_cfg["lexicon_path"]
@@ -304,9 +304,13 @@ class ServerSettings:
                                for kk, vv in v.items()}
                            for k, v in ruleset.items()}
                 s.endpoint_rulesets[name] = load_endpoint_rules(ruleset)
+            # key-presence check, not truthiness: an explicitly EMPTY
+            # DEFAULT set (rule-based endpointing disabled) must win
+            # over other named sets
             s.endpoint_rules = (
-                s.endpoint_rulesets.get("DEFAULT")
-                or next(iter(s.endpoint_rulesets.values())))
+                s.endpoint_rulesets["DEFAULT"]
+                if "DEFAULT" in s.endpoint_rulesets
+                else next(iter(s.endpoint_rulesets.values())))
         if "endpoint_rules" in blob:
             s.endpoint_rules = load_endpoint_rules(blob["endpoint_rules"])
         if isinstance(blob.get("endpoint_rulesets"), dict):

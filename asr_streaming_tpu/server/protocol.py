@@ -15,14 +15,19 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Union
 
 
 @dataclasses.dataclass
 class DecodedResult:
     id: str = ""
     status: int = 0
-    msg: int = 0
+    # the reference annotates msg as int but never assigns it
+    # (utils.py:30; its result field even declares default_factory=str
+    # for a Dict) — this rebuild uses msg to carry the human-readable
+    # error string on status != 0 notices (e.g. unknown __SET_LM_MODEL__
+    # name) and 0 otherwise
+    msg: Union[int, str] = 0
     segment: int = 0
     result: Dict = dataclasses.field(default_factory=dict)
     segment_start: float = 0.0

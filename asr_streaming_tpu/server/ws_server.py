@@ -262,9 +262,13 @@ class StreamingServer:
                         # entry (rescorer + endpoint ruleset via
                         # Mapping_rule); unknown names keep the current
                         # model and tell the client
+                        # valid names are Linguistic_Model keys only
+                        # (rescorer registry / Mapping_rule domain) —
+                        # NOT endpoint-ruleset names, which live in the
+                        # map's range (accepting those would silently
+                        # select a model that does not exist)
                         known = (cmd.lm_model == "GENERAL"
                                  or cmd.lm_model in self.rescorers
-                                 or cmd.lm_model in stream.rulesets
                                  or cmd.lm_model in stream.mapping_rule)
                         if cmd.lm_model and known:
                             stream.sw_model = cmd.lm_model

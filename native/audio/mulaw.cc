@@ -22,9 +22,12 @@
 // Build: make -C native/audio   ->  libasrcodec.so (ctypes)
 
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <functional>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -138,6 +141,73 @@ static int encode_threads(int64_t rows) {
   return t < 1 ? 1 : t;
 }
 
+// Persistent worker pool: the gather-encode runs on the scheduler's
+// per-tick hot path, so per-call std::thread spawn+join (tens of µs per
+// worker) would eat the very budget the threading buys back.  Workers
+// park on a condition variable between ticks; the calling thread takes
+// the first range itself.
+class RowPool {
+ public:
+  explicit RowPool(int workers) : stop_(false), epoch_(0), pending_(0) {
+    for (int i = 0; i < workers; ++i)
+      threads_.emplace_back([this] { Loop(); });
+  }
+
+  // Run fn over [0, rows) split into `parts` contiguous ranges
+  // (parts <= workers + 1); blocks until all ranges complete.
+  void Run(const std::function<void(int64_t, int64_t)>& fn, int64_t rows,
+           int parts) {
+    int64_t chunk = (rows + parts - 1) / parts;
+    {
+      std::unique_lock<std::mutex> lk(m_);
+      fn_ = &fn;
+      rows_ = rows;
+      chunk_ = chunk;
+      next_ = 1;                 // range 0 is the caller's
+      pending_ = 0;
+      for (int p = 1; p < parts; ++p)
+        if (p * chunk < rows) ++pending_;
+      ++epoch_;
+    }
+    cv_.notify_all();
+    fn(0, chunk < rows ? chunk : rows);
+    std::unique_lock<std::mutex> lk(m_);
+    done_cv_.wait(lk, [this] { return pending_ == 0; });
+  }
+
+ private:
+  void Loop() {
+    uint64_t seen = 0;
+    for (;;) {
+      std::unique_lock<std::mutex> lk(m_);
+      cv_.wait(lk, [&] { return stop_ || epoch_ != seen; });
+      if (stop_) return;
+      seen = epoch_;
+      for (;;) {
+        int64_t lo = next_ * chunk_;
+        if (lo >= rows_) break;
+        ++next_;
+        int64_t hi = lo + chunk_;
+        if (hi > rows_) hi = rows_;
+        const auto* fn = fn_;
+        lk.unlock();
+        (*fn)(lo, hi);
+        lk.lock();
+        if (--pending_ == 0) done_cv_.notify_all();
+      }
+    }
+  }
+
+  std::mutex m_;
+  std::condition_variable cv_, done_cv_;
+  std::vector<std::thread> threads_;
+  const std::function<void(int64_t, int64_t)>* fn_ = nullptr;
+  int64_t rows_ = 0, chunk_ = 0, next_ = 0;
+  bool stop_;
+  uint64_t epoch_;
+  int pending_;
+};
+
 template <typename Fn>
 static void parallel_rows(int64_t rows, Fn fn) {
   int nt = encode_threads(rows);
@@ -145,17 +215,12 @@ static void parallel_rows(int64_t rows, Fn fn) {
     fn(0, rows);
     return;
   }
-  std::vector<std::thread> ts;
-  ts.reserve(nt - 1);
-  int64_t chunk = (rows + nt - 1) / nt;
-  for (int t = 1; t < nt; ++t) {
-    int64_t lo = t * chunk, hi = lo + chunk;
-    if (lo >= rows) break;
-    if (hi > rows) hi = rows;
-    ts.emplace_back(fn, lo, hi);
-  }
-  fn(0, chunk < rows ? chunk : rows);
-  for (auto& th : ts) th.join();
+  // process-lifetime pool (workers park between ticks; never destroyed —
+  // leaked intentionally so no join-at-exit ordering issues with the
+  // ctypes dlclose path)
+  static RowPool* pool = new RowPool(encode_threads(1 << 30) - 1);
+  std::function<void(int64_t, int64_t)> f = fn;
+  pool->Run(f, rows, nt);
 }
 
 
